@@ -1,0 +1,150 @@
+"""CLIP's modified ResNet visual encoder (flax/NHWC) with attention pooling.
+
+Functional equivalent of the `visual` tower of openai/CLIP RN50/RN50x16 that the
+reference loads frozen (thor_image_features.py:57-68). Architecture (vs torchvision
+ResNet): 3-conv stem with a 2x2 average-pool (no maxpool), average-pool "anti-aliased"
+downsampling inside bottlenecks and shortcuts, and a multi-head attention pool
+(AttentionPool2d) instead of global average pooling.
+
+The reference detaches attnpool to expose the 2048×7×7 conv map and applies
+attnpool/avgpool separately (thor_image_features.py:62-67) — mirrored here by
+`ModifiedResNet` returning the conv map and `AttentionPool2d` being a separate module.
+
+TPU notes: NHWC; BN/attention-softmax in f32 under a bf16 trunk; the attention pool is
+a single 50-token MHA — one fused attention, no flash/SP machinery needed.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = ["ModifiedResNet", "AttentionPool2d", "CLIP_RESNET_CONFIGS"]
+
+
+def _avg_pool(x, k: int):
+    return nn.avg_pool(x, (k, k), strides=(k, k))
+
+
+class _ConvBN(nn.Module):
+    features: int
+    kernel: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        pad = self.kernel // 2
+        x = nn.Conv(
+            self.features, (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(pad, pad), (pad, pad)],
+            use_bias=False, dtype=self.dtype, name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, name="bn",
+        )(x)
+        return x.astype(self.dtype)
+
+
+class CLIPBottleneck(nn.Module):
+    """Bottleneck where all convs are stride-1; downsampling is an explicit avg-pool
+    before conv3 and in the shortcut (CLIP's anti-aliased design)."""
+
+    features: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        out_feats = self.features * self.expansion
+        out = nn.relu(_ConvBN(self.features, 1, 1, self.dtype, name="cb1")(x, train))
+        out = nn.relu(_ConvBN(self.features, 3, 1, self.dtype, name="cb2")(out, train))
+        if self.stride > 1:
+            out = _avg_pool(out, self.stride)
+        out = _ConvBN(out_feats, 1, 1, self.dtype, name="cb3")(out, train)
+
+        identity = x
+        if self.stride > 1 or x.shape[-1] != out_feats:
+            identity = x
+            if self.stride > 1:
+                identity = _avg_pool(identity, self.stride)
+            identity = _ConvBN(out_feats, 1, 1, self.dtype, name="down")(identity, train)
+        return nn.relu(out + identity)
+
+
+class ModifiedResNet(nn.Module):
+    """Trunk: 3-conv stem + avgpool, 4 bottleneck stages; returns NHWC conv map
+    (N,7,7,2048 for RN50 at 224px)."""
+
+    stage_sizes: Sequence[int]
+    width: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        x = nn.relu(_ConvBN(self.width // 2, 3, 2, self.dtype, name="stem1")(x, train))
+        x = nn.relu(_ConvBN(self.width // 2, 3, 1, self.dtype, name="stem2")(x, train))
+        x = nn.relu(_ConvBN(self.width, 3, 1, self.dtype, name="stem3")(x, train))
+        x = _avg_pool(x, 2)
+        for stage, n_blocks in enumerate(self.stage_sizes):
+            feats = self.width * (2 ** stage)
+            for b in range(n_blocks):
+                stride = 2 if (b == 0 and stage > 0) else 1
+                x = CLIPBottleneck(feats, stride, self.dtype, name=f"layer{stage + 1}_{b}")(x, train)
+        return x
+
+
+class AttentionPool2d(nn.Module):
+    """CLIP's attention pooling over the conv map.
+
+    Tokens = [mean, 7×7 cells] + learned positional embedding; a single multi-head
+    attention where only the mean token queries (mathematically identical to querying
+    all tokens and keeping token 0, which is what the pinned CLIP commit computes).
+    Separate q/k/v/c projections, torch-Linear layout.
+    """
+
+    num_heads: int
+    output_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, c = x.shape
+        tokens = x.reshape(n, h * w, c)
+        mean_tok = jnp.mean(tokens, axis=1, keepdims=True)
+        tokens = jnp.concatenate([mean_tok, tokens], axis=1)  # (n, hw+1, c)
+        pos = self.param(
+            "positional_embedding",
+            lambda key, shape: jax.random.normal(key, shape) / (c ** 0.5),
+            (h * w + 1, c),
+        )
+        tokens = (tokens + pos[None].astype(tokens.dtype)).astype(jnp.float32)
+
+        head_dim = c // self.num_heads
+        q = nn.Dense(c, dtype=jnp.float32, name="q_proj")(tokens[:, :1])
+        k = nn.Dense(c, dtype=jnp.float32, name="k_proj")(tokens)
+        v = nn.Dense(c, dtype=jnp.float32, name="v_proj")(tokens)
+        q = q.reshape(n, 1, self.num_heads, head_dim)
+        k = k.reshape(n, h * w + 1, self.num_heads, head_dim)
+        v = v.reshape(n, h * w + 1, self.num_heads, head_dim)
+        # (n, heads, 1, hw+1) logits in f32 — a 50-token softmax, precision matters
+        # more than speed here.
+        logits = jnp.einsum("nqhd,nkhd->nhqk", q, k) / (head_dim ** 0.5)
+        attn = jax.nn.softmax(logits, axis=-1)
+        pooled = jnp.einsum("nhqk,nkhd->nqhd", attn, v).reshape(n, c)
+        out = nn.Dense(self.output_dim, dtype=jnp.float32, name="c_proj")(pooled)
+        return out.astype(self.dtype)
+
+
+CLIP_RESNET_CONFIGS = {
+    # name: (stage_sizes, width, embed_dim=width*32, heads, output_dim, image_size)
+    "RN50": dict(stage_sizes=(3, 4, 6, 3), width=64, num_heads=32, output_dim=1024, image_size=224),
+    "RN50x16": dict(stage_sizes=(6, 8, 18, 8), width=96, num_heads=48, output_dim=768, image_size=384),
+}

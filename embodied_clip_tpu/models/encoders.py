@@ -1,0 +1,138 @@
+"""Frozen visual encoders: fused uint8-frames → features inference graphs.
+
+This is the TPU replacement for the reference's per-frame host-side inference engine
+(thor_image_features.py:91-113: PIL preprocess → .cuda() → encoder → .cpu() per frame,
+batch size 1). Here the raw uint8 NHWC frame batch is shipped to the device once and a
+single jitted XLA graph runs preprocess (PIL-parity resize matmuls + normalize), the
+bf16/f32 trunk, and all pooling heads; only the requested features come back.
+
+Emitted keys match the reference's cache schema (thor_image_features.py:129-138):
+  imagenet RN50/RN18 → {<family>_conv, <family>_avgpool}
+  CLIP RN50/RN50x16  → {clip_conv, clip_avgpool, clip_attnpool}
+  CLIP ViT-B/32      → {clip_embed}
+Conv maps are NHWC (TPU-native); loaders convert when reading torch CHW caches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from embodied_clip_tpu.models import convert as convert_mod
+from embodied_clip_tpu.models.clip import CLIPVisual, image_size_of
+from embodied_clip_tpu.models.clip_resnet import CLIP_RESNET_CONFIGS
+from embodied_clip_tpu.models.clip_vit import CLIP_VIT_CONFIGS
+from embodied_clip_tpu.models.resnet import RESNET_CONFIGS, ResNet
+from embodied_clip_tpu.ops.preprocess import make_preprocessor
+
+__all__ = ["EncoderSpec", "FrozenEncoder", "build_encoder", "ENCODER_SPECS"]
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderSpec:
+    family: str  # 'imagenet' | 'clip'
+    arch: str    # 'resnet18' | 'resnet50' | 'RN50' | 'RN50x16' | 'ViT-B/32'
+
+    @property
+    def key_prefix(self) -> str:
+        return "imagenet" if self.family == "imagenet" else "clip"
+
+
+ENCODER_SPECS = {
+    "imagenet_rn50": EncoderSpec("imagenet", "resnet50"),
+    "imagenet_rn18": EncoderSpec("imagenet", "resnet18"),
+    "clip_rn50": EncoderSpec("clip", "RN50"),
+    "clip_rn50x16": EncoderSpec("clip", "RN50x16"),
+    "clip_vit_b32": EncoderSpec("clip", "ViT-B/32"),
+}
+
+
+class FrozenEncoder:
+    """A frozen encoder: module + variables + fused preprocess, with a jitted
+    `encode(frames_u8)` (features are stop_gradient'd — the reference freeze recipe,
+    thor_image_features.py:26-33, expressed functionally)."""
+
+    def __init__(self, spec: EncoderSpec, module, variables, image_size: int,
+                 dtype=jnp.float32):
+        self.spec = spec
+        self.module = module
+        self.variables = variables
+        self.image_size = image_size
+        self.dtype = dtype
+        self.preprocess = make_preprocessor(
+            "clip" if spec.family == "clip" else "imagenet", image_size, dtype
+        )
+        self._encode = jax.jit(self._encode_impl)
+
+    # -- pure function (jit target) ------------------------------------------------
+
+    def _encode_impl(self, variables, frames) -> Dict[str, jnp.ndarray]:
+        x = self.preprocess(frames)
+        prefix = self.spec.key_prefix
+        out: Dict[str, jnp.ndarray] = {}
+        if self.spec.family == "imagenet":
+            conv = self.module.apply(variables, x, train=False)
+            out[f"{prefix}_conv"] = conv
+            out[f"{prefix}_avgpool"] = jnp.mean(
+                conv.astype(jnp.float32), axis=(1, 2)
+            ).astype(conv.dtype)
+        else:
+            feats = self.module.apply(variables, x, train=False)
+            if "conv" in feats:
+                out["clip_conv"] = feats["conv"]
+                out["clip_avgpool"] = feats["avgpool"]
+                out["clip_attnpool"] = feats["embed"]
+            else:
+                out["clip_embed"] = feats["embed"]
+        return {k: jax.lax.stop_gradient(v) for k, v in out.items()}
+
+    # -- public API ------------------------------------------------------------------
+
+    def encode(self, frames) -> Dict[str, jnp.ndarray]:
+        """uint8 NHWC frames (any HxW) → feature dict on device."""
+        return self._encode(self.variables, frames)
+
+    def encode_fn(self):
+        """(variables, frames) → features; for embedding in larger jitted graphs
+        (e.g. the RL rollout/update step)."""
+        return self._encode_impl
+
+    def load_torch_state_dict(self, sd) -> "FrozenEncoder":
+        """Replace random-init weights with a converted reference checkpoint."""
+        if self.spec.family == "imagenet":
+            cfg = RESNET_CONFIGS[self.spec.arch]
+            self.variables = convert_mod.convert_torchvision_resnet(
+                sd, cfg["stage_sizes"], cfg["block"]
+            )
+        else:
+            if any(k.startswith("visual.") for k in sd):
+                sd = {k[len("visual."):]: v for k, v in sd.items() if k.startswith("visual.")}
+            self.variables = convert_mod.convert_clip_visual(sd, self.spec.arch)
+        return self
+
+
+def build_encoder(name: str, dtype=jnp.float32, seed: int = 0,
+                  torch_checkpoint: Optional[str] = None) -> FrozenEncoder:
+    """name ∈ ENCODER_SPECS. Random-init unless a torch checkpoint path is given."""
+    spec = ENCODER_SPECS[name]
+    if spec.family == "imagenet":
+        cfg = RESNET_CONFIGS[spec.arch]
+        module = ResNet(dtype=dtype, **cfg)
+        size = 224
+        variables = module.init(
+            jax.random.PRNGKey(seed), jnp.zeros((1, size, size, 3), dtype), train=False
+        )
+    else:
+        module = CLIPVisual(spec.arch, dtype)
+        size = image_size_of(spec.arch)
+        variables = module.init(
+            jax.random.PRNGKey(seed), jnp.zeros((1, size, size, 3), dtype), train=False
+        )
+    enc = FrozenEncoder(spec, module, dict(variables), size, dtype)
+    if torch_checkpoint is not None:
+        enc.load_torch_state_dict(convert_mod.load_torch_checkpoint(torch_checkpoint))
+    return enc

@@ -1,0 +1,127 @@
+"""Single CLI for the framework (SURVEY.md §5 config consolidation).
+
+One idiom replaces the reference's three (argparse scripts, allenact config-classes,
+habitat YAML):
+
+  python -m embodied_clip_tpu probe-train --embedding-type clip_avgpool \
+      --prediction-type object_presence --data-dir data --log-dir logs
+      # reference: primitive_probing/train.py:116-174
+
+  python -m embodied_clip_tpu extract-features --data-dir data/ithor_scenes \
+      --output-dir data      # reference: generate_data/thor_image_features.py
+
+  python -m embodied_clip_tpu train --config <experiment> [--ckpt …] [--eval]
+      # reference: allenact/main.py & habitat_baselines/run.py runbooks
+
+Experiment configs are registered dataclasses (config/experiments.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from embodied_clip_tpu.models.probes import EMBEDDING_TYPES, PREDICTION_TYPES
+
+
+def _cmd_probe_train(argv):
+    p = argparse.ArgumentParser(prog="probe-train")
+    p.add_argument("--data-dir", dest="data_dir", default="data")
+    p.add_argument("--log-dir", dest="log_dir", default="logs/")
+    p.add_argument("--embedding-type", dest="embedding_type",
+                   choices=list(EMBEDDING_TYPES))
+    p.add_argument("--prediction-type", dest="prediction_type",
+                   choices=list(PREDICTION_TYPES))
+    p.add_argument("--max-epochs", type=int, default=250)
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--ckpt-dir", dest="ckpt_dir", default=None)
+    args = p.parse_args(argv)
+
+    from embodied_clip_tpu.data.probing import ProbeDataModule
+    from embodied_clip_tpu.training.supervised import ProbeTrainConfig, ProbeTrainer
+
+    dm = ProbeDataModule(
+        args.data_dir, args.embedding_type, args.prediction_type,
+        batch_size=args.batch_size,
+    ).setup()
+    trainer = ProbeTrainer(ProbeTrainConfig(
+        embedding_type=args.embedding_type,
+        prediction_type=args.prediction_type,
+        lr=args.lr, batch_size=args.batch_size, max_epochs=args.max_epochs,
+        log_dir=args.log_dir, ckpt_dir=args.ckpt_dir,
+    ))
+    val = trainer.fit(dm)
+    test = trainer.test(dm)
+    print(json.dumps({"val": val, "test": test}))
+
+
+def _cmd_extract_features(argv):
+    p = argparse.ArgumentParser(prog="extract-features")
+    p.add_argument("--data-dir", dest="data_dir", default="data/ithor_scenes")
+    p.add_argument("--output-dir", dest="output_dir", default="data")
+    p.add_argument("--encoders", default="imagenet_rn50,clip_rn50")
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    args = p.parse_args(argv)
+
+    from embodied_clip_tpu.generate_data.extract import extract_thor_features
+
+    extract_thor_features(
+        args.data_dir, args.output_dir,
+        encoder_names=args.encoders.split(","),
+        batch_size=args.batch_size, dtype=args.dtype,
+    )
+
+
+def _cmd_train(argv):
+    p = argparse.ArgumentParser(prog="train")
+    p.add_argument("--config", required=True, help="registered experiment name")
+    p.add_argument("--output-dir", dest="output_dir", default="storage")
+    p.add_argument("--ckpt", default=None, help="checkpoint to load")
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--override", nargs="*", default=[], help="key=value config overrides")
+    args = p.parse_args(argv)
+
+    from embodied_clip_tpu.config.experiments import get_experiment
+
+    exp = get_experiment(args.config, overrides=args.override)
+    if args.eval:
+        result = exp.evaluate(output_dir=args.output_dir, ckpt=args.ckpt)
+    else:
+        result = exp.train(output_dir=args.output_dir, ckpt=args.ckpt)
+    print(json.dumps(result))
+
+
+def _cmd_list_configs(argv):
+    from embodied_clip_tpu.config.experiments import list_experiments
+
+    for name in list_experiments():
+        print(name)
+
+
+COMMANDS = {
+    "probe-train": _cmd_probe_train,
+    "extract-features": _cmd_extract_features,
+    "train": _cmd_train,
+    "list-configs": _cmd_list_configs,
+}
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        print("commands:", ", ".join(COMMANDS))
+        return 0
+    cmd = argv[0]
+    if cmd not in COMMANDS:
+        print(f"unknown command {cmd!r}; available: {', '.join(COMMANDS)}", file=sys.stderr)
+        return 2
+    COMMANDS[cmd](argv[1:])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

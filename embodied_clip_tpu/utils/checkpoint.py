@@ -1,0 +1,95 @@
+"""Checkpointing (orbax-backed).
+
+Covers the reference's two checkpoint styles (SURVEY.md §5):
+  - best-val model checkpointing for probes (PL ModelCheckpoint monitor=val_loss
+    mode=min, reference train.py:160-165; test restores best, train.py:170-174)
+  - step-stamped train state (params + opt state + env-step counter) for RL, matching
+    the `…__stage_00__steps_N.pt` convention (baselines_robothor_objectnav.md:58).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+__all__ = ["save_pytree", "restore_pytree", "BestCheckpointer", "StepCheckpointer"]
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, tree, force=True)
+    ckptr.close()
+
+
+def restore_pytree(path: str, target: Optional[Any] = None) -> Any:
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    try:
+        if target is not None:
+            return ckptr.restore(path, args=ocp.args.PyTreeRestore(target))
+        return ckptr.restore(path)
+    finally:
+        ckptr.close()
+
+
+class BestCheckpointer:
+    """Keep the params minimizing a monitored metric; optionally persist to disk."""
+
+    def __init__(self, directory: Optional[str] = None, mode: str = "min"):
+        self.directory = directory
+        self.sign = 1.0 if mode == "min" else -1.0
+        self.best_value = math.inf
+        self.best_params = None
+        self.best_tag = None
+
+    def update(self, value: float, params: Any, tag: str = "") -> bool:
+        if self.sign * value < self.best_value:
+            self.best_value = self.sign * value
+            # Snapshot to host: the live param buffers may be donated into the next
+            # jitted train step, which would invalidate a by-reference copy.
+            import numpy as np
+
+            self.best_params = jax.tree.map(lambda a: np.asarray(a), params)
+            self.best_tag = tag
+            if self.directory is not None:
+                save_pytree(os.path.join(self.directory, "best"), params)
+            return True
+        return False
+
+
+class StepCheckpointer:
+    """Step-stamped train-state checkpoints with latest-restore."""
+
+    def __init__(self, directory: str, prefix: str = "ckpt"):
+        self.directory = os.path.abspath(directory)
+        self.prefix = prefix
+        os.makedirs(self.directory, exist_ok=True)
+
+    def _path(self, step: int) -> str:
+        return os.path.join(self.directory, f"{self.prefix}__steps_{step:012d}")
+
+    def save(self, step: int, state: Any) -> str:
+        path = self._path(step)
+        save_pytree(path, state)
+        return path
+
+    def latest_step(self) -> Optional[int]:
+        pat = re.compile(rf"{re.escape(self.prefix)}__steps_(\d+)$")
+        steps = [
+            int(m.group(1))
+            for name in os.listdir(self.directory)
+            if (m := pat.match(name))
+        ]
+        return max(steps) if steps else None
+
+    def restore_latest(self, target: Optional[Any] = None):
+        step = self.latest_step()
+        if step is None:
+            return None, None
+        return step, restore_pytree(self._path(step), target)

@@ -1,0 +1,71 @@
+"""Headline benchmark: frozen CLIP RN50 encode throughput (fused uint8 preprocess +
+trunk + all pooling heads) in 224px-frames/sec/chip.
+
+Baseline (BASELINE.json north star): >=15,000 frames/sec/chip on v5e. The reference's
+equivalent path is thor_image_features.py:100-113 (PIL preprocess + batch-1 GPU
+forward per frame).
+
+Timing notes for this harness: through the axon tunnel, block_until_ready returns
+before device completion, so each timed run is drained by fetching a tiny output
+slice; fixed tunnel latency is removed by differencing a short and a long run
+(slope timing).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _drain(out):
+    return np.asarray(out["clip_attnpool"][0, :4])
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from embodied_clip_tpu.models.encoders import build_encoder
+
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    n1 = int(os.environ.get("BENCH_N1", "10"))
+    n2 = int(os.environ.get("BENCH_N2", "110"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    resize_dtype = os.environ.get("BENCH_RESIZE_DTYPE", "float32")
+
+    enc = build_encoder("clip_rn50", dtype=jnp.bfloat16)
+    if resize_dtype != "float32":
+        import dataclasses
+
+        enc.preprocess = dataclasses.replace(enc.preprocess, resize_matmul_dtype=resize_dtype)
+
+    rng = np.random.RandomState(0)
+    bufs = [
+        jax.device_put(jnp.asarray(rng.randint(0, 256, (batch, 300, 300, 3), np.uint8)))
+        for _ in range(2)
+    ]
+    _drain(enc.encode(bufs[0]))  # compile + warm
+
+    def run(n):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(n):
+            out = enc.encode(bufs[i % 2])
+        _drain(out)
+        return time.perf_counter() - t0
+
+    per_iter = min((run(n2) - run(n1)) / (n2 - n1) for _ in range(reps))
+    fps = batch / per_iter
+    print(json.dumps({
+        "metric": "clip_rn50_encode_frames_per_sec_per_chip",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 15000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

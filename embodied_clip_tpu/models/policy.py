@@ -1,0 +1,133 @@
+"""Goal-conditioned recurrent actor-critic policies.
+
+Functional equivalent of the allenact/habitat-lab CLIP navigation policies the
+reference's RL suites use (BASELINE.json north star: "CLIP feature-compressor CNN +
+GRU + actor/critic heads"; entry configs at baselines_robothor_objectnav.md:48-51):
+frozen visual features (2048×7×7 CLIP conv map) → small trainable compressor CNN →
+concat goal embedding (+ previous action) → single-layer GRU → categorical actor +
+scalar critic.
+
+Goal conditioning variants (one policy class, selected by `goal_kind`):
+  object_embed  learned embedding of the target object class (ObjectNav)
+  pointgoal     linear embed of polar target coordinates (PointNav,
+                baselines_habitat.md:63-75)
+  text_embed    frozen CLIP text goal embedding → linear adapter (zero-shot
+                ObjectNav, readme_files/zeroshot_objectnav.md:17)
+  none          unconditioned (Rearrangement-style IL)
+
+TPU notes: the policy consumes visual features NHWC; the GRU unrolls with `lax.scan`
+(hidden state reset at episode boundaries via the done mask); everything is a pure
+function of (params, inputs) so rollout and PPO-update share one unroll definition.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = ["ActorCritic", "GOAL_KINDS"]
+
+GOAL_KINDS = ("object_embed", "pointgoal", "text_embed", "none")
+
+
+class VisualCompressor(nn.Module):
+    """Trainable CNN over the frozen conv map (the allenact-style compressor)."""
+
+    mid: int = 128
+    out: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+        x = nn.relu(nn.Conv(self.mid, (1, 1), dtype=self.dtype, name="reduce")(x))
+        x = nn.relu(nn.Conv(self.out, (3, 3), padding="SAME", dtype=self.dtype, name="mix")(x))
+        return x.reshape(x.shape[0], -1)
+
+
+class ActorCritic(nn.Module):
+    num_actions: int
+    goal_kind: str = "object_embed"
+    num_goal_classes: int = 12        # RoboTHOR ObjectNav vocabulary size
+    goal_input_dim: int = 1024        # text_embed / pointgoal input width
+    goal_dim: int = 32
+    hidden: int = 512
+    use_prev_action: bool = True
+    visual_is_map: bool = True        # conv map vs flat feature vector
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        assert self.goal_kind in GOAL_KINDS
+        if self.visual_is_map:
+            self.compressor = VisualCompressor(dtype=self.dtype)
+        else:
+            self.visual_fc = nn.Dense(512, dtype=self.dtype)
+        if self.goal_kind == "object_embed":
+            self.goal_embed = nn.Embed(self.num_goal_classes, self.goal_dim, dtype=self.dtype)
+        elif self.goal_kind in ("pointgoal", "text_embed"):
+            self.goal_fc = nn.Dense(self.goal_dim, dtype=self.dtype)
+        if self.use_prev_action:
+            # +1 slot: "no previous action" at episode starts.
+            self.prev_action_embed = nn.Embed(self.num_actions + 1, 6, dtype=self.dtype)
+        self.gru = nn.GRUCell(features=self.hidden, dtype=self.dtype)
+        self.actor = nn.Dense(self.num_actions, dtype=jnp.float32)
+        self.critic = nn.Dense(1, dtype=jnp.float32)
+
+    def _features(self, obs: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        parts = []
+        v = obs["visual"]
+        if self.visual_is_map:
+            parts.append(self.compressor(v))
+        else:
+            parts.append(nn.relu(self.visual_fc(v.astype(self.dtype))))
+        if self.goal_kind == "object_embed":
+            parts.append(self.goal_embed(obs["goal"].astype(jnp.int32)))
+        elif self.goal_kind in ("pointgoal", "text_embed"):
+            g = obs["goal"].astype(self.dtype)
+            # Frozen text goals must not backprop into CLIP (zero-shot recipe).
+            if self.goal_kind == "text_embed":
+                g = jax.lax.stop_gradient(g)
+            parts.append(self.goal_fc(g))
+        if self.use_prev_action:
+            parts.append(self.prev_action_embed(obs["prev_action"].astype(jnp.int32)))
+        return jnp.concatenate(parts, axis=-1)
+
+    def __call__(self, obs: Dict[str, jnp.ndarray], h: jnp.ndarray,
+                 done: Optional[jnp.ndarray] = None):
+        """Single step: (obs batch, hidden) → (action logits, value, new hidden).
+
+        `done` marks episode starts: hidden state is zeroed BEFORE the step, the
+        recurrent-policy boundary handling DD-PPO depends on.
+        """
+        if done is not None:
+            h = jnp.where(done[:, None], jnp.zeros_like(h), h)
+        x = self._features(obs)
+        h, out = self.gru(h, x)
+        logits = self.actor(out.astype(jnp.float32))
+        value = self.critic(out.astype(jnp.float32))[..., 0]
+        return logits, value, h
+
+    def initial_state(self, batch: int) -> jnp.ndarray:
+        return jnp.zeros((batch, self.hidden), self.dtype)
+
+
+def unroll_policy(apply_fn, params, obs_seq: Dict[str, jnp.ndarray], h0: jnp.ndarray,
+                  done_seq: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Unroll a policy over T steps via lax.scan.
+
+    obs_seq: pytree of (T, B, ...); done_seq: (T, B) episode-start markers (hidden
+    reset before those steps). Returns (logits (T,B,A), values (T,B), hT). Rollout
+    collection and the PPO update's recomputation share this single definition —
+    guaranteeing the recurrent state the learner sees matches what acted.
+    """
+
+    def step(h, inp):
+        obs, done = inp
+        logits, value, h = apply_fn({"params": params}, obs, h, done)
+        return h, (logits, value)
+
+    hT, (logits, values) = jax.lax.scan(step, h0, (obs_seq, done_seq))
+    return logits, values, hT

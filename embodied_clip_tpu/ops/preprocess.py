@@ -39,6 +39,8 @@ class Preprocessor:
     # Emulate PIL's per-pass uint8 round/clip for bit-faithful reference parity
     # (see ops/resize.py). Disable for maximum-accuracy float filtering.
     pil_exact: bool = True
+    # 'bfloat16' trades ≤1 LSB pixel error for ~6x cheaper resize matmuls (rollouts).
+    resize_matmul_dtype: str = "float32"
 
     def __call__(self, frames: jnp.ndarray) -> jnp.ndarray:
         """uint8/float NHWC (or HWC) frames → normalized NHWC in self.dtype."""
@@ -55,7 +57,9 @@ class Preprocessor:
             x = x / 255.0
         if (h, w) != (self.size, self.size):
             wh, ww = resize_plan((h, w), self.size, (self.size, self.size), self.method)
-            x = apply_resize(x, wh, ww, pil_exact=self.pil_exact and is_u8)
+            mm_dtype = jnp.bfloat16 if self.resize_matmul_dtype == "bfloat16" else None
+            x = apply_resize(x, wh, ww, pil_exact=self.pil_exact and is_u8,
+                             matmul_dtype=mm_dtype)
         mean = jnp.asarray(np.array(self.mean, dtype=np.float32))
         std = jnp.asarray(np.array(self.std, dtype=np.float32))
         x = (x - mean) / std

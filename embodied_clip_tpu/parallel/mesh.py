@@ -1,0 +1,48 @@
+"""Device mesh + sharding helpers.
+
+The reference's only multi-device mode is data-parallel DD-PPO via
+torch.distributed.launch + NCCL allreduce (baselines_habitat.md:63-69; SURVEY.md
+§2.4). TPU-natively that is SPMD: one jitted step, env batch sharded over the mesh's
+'dp' axis, params replicated — XLA inserts the gradient psum over ICI (and DCN across
+slices) on its own. These helpers centralize mesh construction and pytree sharding;
+a 'mp' (model-parallel) axis is accepted so tensor sharding is a mesh-axis choice,
+not a rewrite (SURVEY.md §2.4 TP note), though RN50-scale models never need it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "shard_batch", "replicate", "batch_spec"]
+
+
+def make_mesh(dp: Optional[int] = None, mp: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Mesh with ('dp', 'mp') axes; dp defaults to all devices / mp."""
+    devices = list(devices if devices is not None else jax.devices())
+    if dp is None:
+        dp = len(devices) // mp
+    grid = np.asarray(devices[: dp * mp]).reshape(dp, mp)
+    return Mesh(grid, ("dp", "mp"))
+
+
+def batch_spec(leaf) -> P:
+    """Shard the leading (batch) dimension over dp; replicate scalars."""
+    if getattr(leaf, "ndim", 0) == 0:
+        return P()
+    return P("dp")
+
+
+def shard_batch(tree, mesh: Mesh):
+    """Place a pytree with leading batch dims onto the mesh, sharded over dp."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, batch_spec(x))), tree
+    )
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.tree.map(lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)

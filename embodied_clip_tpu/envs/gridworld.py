@@ -16,7 +16,7 @@ frozen-encoder → policy pipeline can be exercised hermetically.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -67,6 +67,10 @@ class GridNavEnv:
     # counterpart, so the hermetic learning gate trains a Dense-front policy.
     flat_obs: bool = False
 
+    # Restrict object classes to a subset (zero-shot seen/unseen splits,
+    # readme_files/zeroshot_objectnav.md:31-32). None = all classes.
+    class_set: Optional[Tuple[int, ...]] = None
+
     @property
     def num_actions(self) -> int:
         return len(ACTIONS)
@@ -82,10 +86,19 @@ class GridNavEnv:
         agent_pos = jax.random.randint(k1, (2,), 0, self.size)
         agent_dir = jax.random.randint(k2, (), 0, 4)
         object_pos = jax.random.randint(k3, (self.num_objects, 2), 0, self.size)
-        # Distinct classes per episode so the goal is unambiguous.
-        object_cls = jax.random.choice(
-            k4, self.num_classes, (self.num_objects,), replace=False
-        ).astype(jnp.int32)
+        # Distinct classes per episode so the goal is unambiguous; sampled from
+        # class_set when given (distinct via base+offset, cheaper than a permutation).
+        pool = jnp.asarray(
+            self.class_set if self.class_set is not None else range(self.num_classes),
+            jnp.int32,
+        )
+        kb, ko = jax.random.split(k4)
+        base = jax.random.randint(kb, (), 0, len(pool))
+        offs = jax.random.randint(ko, (self.num_objects,), 1, len(pool))
+        # base + cumulative offsets: pairwise-distinct for num_objects<=2 (the default);
+        # rare repeats possible beyond that, harmless for a synthetic env.
+        idx = jnp.concatenate([base[None], (base + jnp.cumsum(offs[:-1])) % len(pool)])
+        object_cls = pool[idx % len(pool)].astype(jnp.int32)
         target_idx = jax.random.randint(k5, (), 0, self.num_objects)
         tgt = object_pos[target_idx]
         start_dist = jnp.abs(agent_pos - tgt).sum()
@@ -137,6 +150,27 @@ class GridNavEnv:
         img = jnp.stack([r, 0.3 * g, bl], -1)  # (B,v,v,3) in [0,1]
         img = jnp.repeat(jnp.repeat(img, cell_px, 1), cell_px, 2)
         return (img * 255).astype(jnp.uint8)
+
+    # ---------------------------------------------------------------------- expert
+
+    def expert_action(self, s: GridNavState) -> jnp.ndarray:
+        """Greedy shortest-path oracle (End when within success_dist) — the expert for
+        DAgger imitation (reference iTHOR Rearrangement trains 1-phase DAgger,
+        baselines_ithor_rearrangement.md:7-12)."""
+        tgt = self._target_pos(s)
+        d = tgt - s.agent_pos                      # (B,2) (dy, dx)
+        dist = jnp.abs(d).sum(-1)
+        # Desired heading: move along the axis with the larger remaining distance.
+        want_y = jnp.abs(d[:, 0]) >= jnp.abs(d[:, 1])
+        dir_y = jnp.where(d[:, 0] < 0, 0, 2)       # N or S
+        dir_x = jnp.where(d[:, 1] > 0, 1, 3)       # E or W
+        desired = jnp.where(want_y & (d[:, 0] != 0), dir_y,
+                            jnp.where(d[:, 1] != 0, dir_x, dir_y))
+        diff = (desired - s.agent_dir) % 4
+        turn = jnp.where(diff == 1, ROTATE_RIGHT,
+                         jnp.where(diff == 3, ROTATE_LEFT, ROTATE_RIGHT))
+        move_or_turn = jnp.where(diff == 0, MOVE_AHEAD, turn)
+        return jnp.where(dist <= self.success_dist, END, move_or_turn).astype(jnp.int32)
 
     # ------------------------------------------------------------------------ step
 

@@ -30,17 +30,20 @@ def make_mesh(dp: Optional[int] = None, mp: int = 1,
     return Mesh(grid, ("dp", "mp"))
 
 
-def batch_spec(leaf) -> P:
-    """Shard the leading (batch) dimension over dp; replicate scalars."""
+def batch_spec(leaf, batch: Optional[int] = None) -> P:
+    """Shard the leading (batch) dimension over dp; replicate scalars and leaves
+    whose leading dim isn't the batch (e.g. a single PRNG key)."""
     if getattr(leaf, "ndim", 0) == 0:
+        return P()
+    if batch is not None and leaf.shape[0] != batch:
         return P()
     return P("dp")
 
 
-def shard_batch(tree, mesh: Mesh):
+def shard_batch(tree, mesh: Mesh, batch: Optional[int] = None):
     """Place a pytree with leading batch dims onto the mesh, sharded over dp."""
     return jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, batch_spec(x))), tree
+        lambda x: jax.device_put(x, NamedSharding(mesh, batch_spec(x, batch))), tree
     )
 
 

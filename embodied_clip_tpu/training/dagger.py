@@ -1,0 +1,134 @@
+"""DAgger imitation learning.
+
+The reference's iTHOR Rearrangement suite trains 1-phase agents with DAgger
+(baselines_ithor_rearrangement.md:7-12: OnePhase*Dagger configs, 40 env processes).
+Recipe: roll out a β-mixture of expert and learner actions, label every visited state
+with the expert's action, minimize cross-entropy; β anneals from 1 → 0 so the state
+distribution shifts from the expert's to the learner's.
+
+TPU shape: like DD-PPO, one jitted iteration = T on-device env steps (expert queried
+from env state inside the scan) + K supervised epochs over the unrolled GRU; env batch
+shards over the mesh 'dp' axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from embodied_clip_tpu.models.policy import ActorCritic, unroll_policy
+from embodied_clip_tpu.training.rollout import ActState, init_act_state
+
+__all__ = ["DAggerConfig", "DAggerLearner"]
+
+
+@dataclasses.dataclass(frozen=True)
+class DAggerConfig:
+    rollout_len: int = 64
+    env_batch: int = 32
+    epochs: int = 1
+    lr: float = 3e-4
+    max_grad_norm: float = 0.5
+    beta_decay_iters: int = 100   # β: 1 → 0 linearly over this many iterations
+
+
+class DAggerLearner:
+    def __init__(self, env, policy: ActorCritic, cfg: DAggerConfig,
+                 encode_fn: Optional[Callable] = None, mesh=None):
+        self.env = env
+        self.policy = policy
+        self.cfg = cfg
+        self.encode_fn = encode_fn
+        self.mesh = mesh
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
+        )
+        self._iteration = jax.jit(self._iteration_impl, donate_argnums=(0, 1, 2))
+
+    def init(self, key) -> Tuple[dict, optax.OptState, ActState]:
+        k_param, k_act = jax.random.split(key)
+        batch = self.cfg.env_batch
+        _, obs0 = self.env.reset(k_act, batch)
+        obs0 = dict(obs0)
+        if self.encode_fn is not None:
+            obs0["visual"] = self.encode_fn(obs0["visual"])
+        obs0["prev_action"] = jnp.zeros((batch,), jnp.int32)
+        params = self.policy.init(
+            k_param, obs0, self.policy.initial_state(batch), jnp.zeros((batch,), bool)
+        )["params"]
+        opt_state = self.tx.init(params)
+        act = init_act_state(
+            self.env, self.policy.apply, params, k_act, batch, self.policy.hidden
+        )
+        if self.mesh is not None:
+            from embodied_clip_tpu.parallel.mesh import replicate, shard_batch
+
+            params = replicate(params, self.mesh)
+            opt_state = replicate(opt_state, self.mesh)
+            act = shard_batch(act, self.mesh, batch=batch)
+        return params, opt_state, act
+
+    def _collect(self, params, act: ActState, beta):
+        def policy_obs(obs, prev_a):
+            o = dict(obs)
+            if self.encode_fn is not None:
+                o["visual"] = self.encode_fn(o["visual"])
+            o["prev_action"] = prev_a
+            return o
+
+        def step(carry: ActState, _):
+            obs_in = policy_obs(carry.obs, carry.prev_action)
+            logits, _, h = self.policy.apply(
+                {"params": params}, obs_in, carry.h, carry.is_start
+            )
+            expert = self.env.expert_action(carry.env_state)
+            key, k_act_, k_mix = jax.random.split(carry.key, 3)
+            learner_a = jax.random.categorical(k_act_, logits).astype(jnp.int32)
+            take_expert = jax.random.uniform(k_mix, expert.shape) < beta
+            action = jnp.where(take_expert, expert, learner_a)
+            env_state, obs, _, done, info = self.env.step(carry.env_state, action)
+            prev_a = jnp.where(done, jnp.int32(self.env.num_actions), action)
+            out = (obs_in, carry.is_start, expert, done, info)
+            return ActState(env_state, obs, h, prev_a, done, key), out
+
+        new_act, (obs_seq, starts, expert_seq, dones, infos) = jax.lax.scan(
+            step, act, None, length=self.cfg.rollout_len
+        )
+        return new_act, obs_seq, starts, expert_seq, infos
+
+    def _iteration_impl(self, params, opt_state, act: ActState, beta):
+        h0 = act.h  # hidden entering step 0 of this rollout
+        act, obs_seq, starts, expert_seq, infos = self._collect(params, act, beta)
+
+        def loss_fn(p):
+            logits, _, _ = unroll_policy(self.policy.apply, p, obs_seq, h0, starts)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            ce = -jnp.take_along_axis(logp, expert_seq[..., None], axis=-1)[..., 0]
+            acc = (jnp.argmax(logits, -1) == expert_seq).astype(jnp.float32)
+            return ce.mean(), acc.mean()
+
+        loss = acc = None
+        for _ in range(self.cfg.epochs):
+            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+
+        n_done = jnp.maximum(infos["done"].sum(), 1.0)
+        metrics = {
+            "loss": loss,
+            "expert_match": acc,
+            "success": (infos["success"] * infos["done"]).sum() / n_done,
+            "spl": (infos["spl"] * infos["done"]).sum() / n_done,
+            "episodes": infos["done"].sum(),
+            "beta": beta,
+        }
+        return params, opt_state, act, metrics
+
+    def train_iteration(self, params, opt_state, act: ActState, iteration: int):
+        """One DAgger iteration; β anneals linearly with `iteration`."""
+        beta = jnp.clip(1.0 - iteration / self.cfg.beta_decay_iters, 0.0, 1.0)
+        return self._iteration(params, opt_state, act, beta)

@@ -75,7 +75,7 @@ class DDPPOLearner:
 
             params = replicate(params, self.mesh)
             opt_state = replicate(opt_state, self.mesh)
-            act = shard_batch(act, self.mesh)
+            act = shard_batch(act, self.mesh, batch=batch)
         return params, opt_state, act
 
     # ------------------------------------------------------------------ train step

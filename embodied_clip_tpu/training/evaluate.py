@@ -1,0 +1,115 @@
+"""Policy evaluation: per-episode success/SPL metrics + metrics.json writer.
+
+Mirrors the reference's RL eval contract (readme_files/zeroshot_objectnav.md:34-47):
+eval emits a metrics JSON of per-episode records `{"success", "spl", "ep_length",
+"task_info": {"object_type": …}}` under `[{"tasks": [...]}]`, and `compute_scores`
+aggregates success/SPL per object type exactly as the readme's snippet does.
+
+The episode loop runs on-device in fixed-size lax.scan chunks; finished episodes are
+filtered on host until the requested count is reached.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["evaluate_policy", "write_metrics_json", "compute_scores"]
+
+
+def evaluate_policy(env, apply_fn, params, key, num_episodes: int, hidden: int,
+                    env_batch: int = 32, max_steps_total: int = 4096,
+                    deterministic: bool = True,
+                    encode_fn: Optional[Callable] = None,
+                    goal_map_fn: Optional[Callable] = None,
+                    class_names: Optional[Sequence[str]] = None) -> List[Dict]:
+    """Run until `num_episodes` episodes finish; returns per-episode records."""
+
+    def policy_obs(obs, prev_action):
+        o = dict(obs)
+        if encode_fn is not None:
+            o["visual"] = encode_fn(o["visual"])
+        if goal_map_fn is not None:
+            o["goal"] = goal_map_fn(o["goal"])
+        o["prev_action"] = prev_action
+        return o
+
+    chunk = 128
+
+    @jax.jit
+    def run_chunk(params, carry):
+        def step(carry, _):
+            env_state, obs, h, prev_a, start, key = carry
+            goal_cls = obs["goal"]
+            obs_in = policy_obs(obs, prev_a)
+            logits, _, h = apply_fn({"params": params}, obs_in, h, start)
+            key, k = jax.random.split(key)
+            if deterministic:
+                action = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            else:
+                action = jax.random.categorical(k, logits).astype(jnp.int32)
+            env_state, obs2, _, done, info = env.step(env_state, action)
+            prev_a = jnp.where(done, jnp.int32(env.num_actions), action)
+            rec = (done, info["success"], info["spl"], info["episode_len"], goal_cls)
+            return (env_state, obs2, h, prev_a, done, key), rec
+
+        return jax.lax.scan(step, carry, None, length=chunk)
+
+    key, kr = jax.random.split(key)
+    env_state, obs = env.reset(kr, env_batch)
+    carry = (
+        env_state, obs,
+        jnp.zeros((env_batch, hidden), jnp.float32),
+        jnp.full((env_batch,), env.num_actions, jnp.int32),
+        jnp.ones((env_batch,), bool),
+        key,
+    )
+
+    episodes: List[Dict] = []
+    steps = 0
+    while len(episodes) < num_episodes and steps < max_steps_total:
+        carry, recs = run_chunk(params, carry)
+        done, success, spl, ep_len, goal = (np.asarray(r) for r in recs)
+        steps += chunk
+        for t in range(done.shape[0]):
+            for b in np.nonzero(done[t])[0]:
+                cls = int(goal[t, b])
+                episodes.append({
+                    "success": float(success[t, b]),
+                    "spl": float(spl[t, b]),
+                    "ep_length": float(ep_len[t, b]),
+                    "task_info": {
+                        "object_type": class_names[cls] if class_names else str(cls)
+                    },
+                })
+                if len(episodes) >= num_episodes:
+                    break
+    return episodes[:num_episodes]
+
+
+def write_metrics_json(path: str, episodes: List[Dict]) -> str:
+    """Reference schema: a list whose first element holds {"tasks": [...]}
+    (zeroshot_objectnav.md:38-40 reads metrics[0]['tasks'])."""
+    with open(path, "w") as f:
+        json.dump([{"tasks": episodes}], f)
+    return path
+
+
+def compute_scores(metrics_file: str, obj_type: str):
+    """Average success/SPL for one object type (behavioral parity with the readme's
+    compute_scores snippet, zeroshot_objectnav.md:36-47)."""
+    with open(metrics_file) as f:
+        metrics = json.load(f)
+    episodes = [
+        ep for ep in metrics[0]["tasks"]
+        if ep["task_info"]["object_type"] == obj_type
+    ]
+    if not episodes:
+        return 0.0, 0.0
+    success = sum(ep["success"] for ep in episodes) / len(episodes)
+    spl = sum(ep["spl"] for ep in episodes) / len(episodes)
+    return success, spl

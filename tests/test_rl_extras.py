@@ -1,0 +1,127 @@
+"""Expert oracle, DAgger, evaluation/metrics.json, zero-shot goal table."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from embodied_clip_tpu.envs.gridworld import GridNavEnv
+from embodied_clip_tpu.models.policy import ActorCritic
+from embodied_clip_tpu.training.dagger import DAggerConfig, DAggerLearner
+from embodied_clip_tpu.training.evaluate import (
+    compute_scores, evaluate_policy, write_metrics_json,
+)
+
+
+def test_expert_solves_env():
+    env = GridNavEnv(size=6, max_steps=40)
+    state, _ = env.reset(jax.random.PRNGKey(0), 16)
+
+    @jax.jit
+    def run(state):
+        def step(carry, _):
+            st = carry
+            a = env.expert_action(st)
+            st, _, _, done, info = env.step(st, a)
+            return st, (done, info["success"])
+        return jax.lax.scan(step, state, None, length=40)
+
+    _, (done, success) = run(state)
+    done, success = np.asarray(done), np.asarray(success)
+    # every env finishes at least one episode, all successfully
+    assert done.any(axis=0).all()
+    np.testing.assert_allclose(success[done.astype(bool)], 1.0)
+
+
+def test_dagger_learns_expert():
+    env = GridNavEnv(size=5, max_steps=24, flat_obs=True)
+    policy = ActorCritic(num_actions=env.num_actions, goal_kind="object_embed",
+                         num_goal_classes=env.num_classes, hidden=64,
+                         visual_is_map=False)
+    learner = DAggerLearner(env, policy, DAggerConfig(
+        rollout_len=32, env_batch=16, lr=3e-3, epochs=2, beta_decay_iters=30))
+    params, opt, act = learner.init(jax.random.PRNGKey(0))
+    m = {}
+    for it in range(50):
+        params, opt, act, m = learner.train_iteration(params, opt, act, it)
+    # β has annealed to 0 → success comes from the learner itself. Exact expert-match
+    # has a ceiling < 1 (the oracle's tie-breaks are unobservable), so gate on success.
+    assert float(m["beta"]) == 0.0
+    assert float(m["expert_match"]) > 0.55, float(m["expert_match"])
+    assert float(m["success"]) > 0.4, float(m["success"])
+
+
+def test_evaluate_and_metrics_json(tmp_path):
+    env = GridNavEnv(size=5, max_steps=16, flat_obs=True)
+    policy = ActorCritic(num_actions=env.num_actions, goal_kind="object_embed",
+                         num_goal_classes=env.num_classes, hidden=32,
+                         visual_is_map=False)
+    obs0 = {
+        "visual": jnp.zeros((1, 7 * 7 * env.obs_channels)),
+        "goal": jnp.zeros((1,), jnp.int32),
+        "prev_action": jnp.zeros((1,), jnp.int32),
+    }
+    params = policy.init(jax.random.PRNGKey(0), obs0, policy.initial_state(1),
+                         jnp.zeros((1,), bool))["params"]
+    names = [f"Obj{i}" for i in range(env.num_classes)]
+    eps = evaluate_policy(env, policy.apply, params, jax.random.PRNGKey(1),
+                          num_episodes=20, hidden=32, env_batch=8,
+                          deterministic=False, class_names=names)
+    assert len(eps) == 20
+    assert all(set(e) == {"success", "spl", "ep_length", "task_info"} for e in eps)
+    path = write_metrics_json(os.path.join(tmp_path, "metrics.json"), eps)
+    # aggregator parity with the readme snippet
+    some_type = eps[0]["task_info"]["object_type"]
+    success, spl = compute_scores(path, some_type)
+    manual = [e for e in eps if e["task_info"]["object_type"] == some_type]
+    np.testing.assert_allclose(success, sum(e["success"] for e in manual) / len(manual))
+    np.testing.assert_allclose(spl, sum(e["spl"] for e in manual) / len(manual))
+
+
+def test_zeroshot_goal_table_and_split():
+    from embodied_clip_tpu.models.clip import build_clip
+    from embodied_clip_tpu.models.tokenizer import SimpleTokenizer
+    from embodied_clip_tpu.zeroshot import (
+        goal_map_fn, seen_unseen_class_ids, text_goal_table,
+    )
+
+    seen, unseen = seen_unseen_class_ids()
+    assert len(seen) == 8 and len(unseen) == 4
+    assert not set(seen) & set(unseen)
+
+    # Tiny text tower via a full CLIP build is too heavy for CPU; use the table
+    # machinery with a random table instead, plus a real (tiny-vocab) tokenizer check.
+    tok = SimpleTokenizer()
+    assert tok.vocab_size > 0
+    table = np.random.RandomState(0).randn(12, 16).astype(np.float32)
+    fn = goal_map_fn(table)
+    out = np.asarray(fn(jnp.asarray([0, 5, 11])))
+    np.testing.assert_allclose(out, table[[0, 5, 11]])
+
+
+def test_zeroshot_policy_conditions_on_text():
+    """text_embed policies run and freeze the goal pathway (stop_gradient)."""
+    env = GridNavEnv(size=5, flat_obs=True)
+    policy = ActorCritic(num_actions=env.num_actions, goal_kind="text_embed",
+                         goal_input_dim=16, hidden=32, visual_is_map=False)
+    obs = {
+        "visual": jnp.ones((2, 7 * 7 * env.obs_channels)),
+        "goal": jnp.ones((2, 16)),
+        "prev_action": jnp.zeros((2,), jnp.int32),
+    }
+    params = policy.init(jax.random.PRNGKey(0), obs, policy.initial_state(2),
+                         jnp.zeros((2,), bool))["params"]
+    logits, value, h = policy.apply({"params": params}, obs,
+                                    policy.initial_state(2), jnp.zeros((2,), bool))
+    assert logits.shape == (2, env.num_actions) and value.shape == (2,)
+
+    def loss(goal):
+        lg, _, _ = policy.apply({"params": params}, {**obs, "goal": goal},
+                                policy.initial_state(2), jnp.zeros((2,), bool))
+        return (lg ** 2).sum()
+
+    g = jax.grad(loss)(obs["goal"])
+    np.testing.assert_allclose(np.asarray(g), 0.0)  # frozen text goals

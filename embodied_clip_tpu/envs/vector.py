@@ -1,0 +1,178 @@
+"""Vectorized host-env worker pool (process-level parallelism on CPU hosts).
+
+TPU-native counterpart of allenact/habitat's vectorized task samplers (the reference
+runs 40 env processes per machine for Rearrangement, baselines_ithor_rearrangement.md:9).
+Each worker process owns one simulator instance; the pool steps them asynchronously
+and assembles contiguous uint8 frame batches for device transfer.
+
+Straggler cutoff (DD-PPO's signature preemption tolerance, SURVEY.md §2.4): `step_wait`
+can return once `cutoff_fraction` of workers have delivered, repeating each straggler's
+previous observation and masking it via the returned 'valid' flags, so one slow
+simulator never stalls the TPU.
+
+When a C++ shared-memory frame ring (native/frame_ring) is built, workers write frames
+directly into shared memory instead of pickling them through pipes.
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from embodied_clip_tpu.native.frame_ring import FrameRing, frame_ring_available
+
+__all__ = ["VectorEnv"]
+
+
+def _worker(remote, env_fn, ring_info, slot):
+    env = env_fn()
+    ring = None
+    if ring_info is not None:
+        ring = FrameRing.attach(*ring_info)
+    try:
+        while True:
+            cmd, data = remote.recv()
+            if cmd == "reset":
+                obs = env.reset()
+                if ring is not None and "visual" in obs:
+                    ring.write(slot, obs["visual"])
+                    obs = {k: v for k, v in obs.items() if k != "visual"}
+                remote.send(("obs", obs))
+            elif cmd == "step":
+                obs, reward, done, info = env.step(int(data))
+                if ring is not None and "visual" in obs:
+                    ring.write(slot, obs["visual"])
+                    obs = {k: v for k, v in obs.items() if k != "visual"}
+                remote.send(("trans", (obs, reward, done, info)))
+            elif cmd == "close":
+                env.close()
+                remote.send(("closed", None))
+                return
+    except (KeyboardInterrupt, EOFError):
+        env.close()
+
+
+class VectorEnv:
+    """Pool of worker processes, batched numpy interface."""
+
+    def __init__(self, env_fns: Sequence[Callable], frame_shape: Optional[Tuple[int, int, int]] = None,
+                 cutoff_fraction: float = 1.0, cutoff_timeout_s: float = 30.0,
+                 start_method: str = "fork"):
+        self.n = len(env_fns)
+        self.cutoff_fraction = cutoff_fraction
+        self.cutoff_timeout_s = cutoff_timeout_s
+        ctx = mp.get_context(start_method)
+        self.remotes, worker_remotes = zip(*[ctx.Pipe() for _ in range(self.n)])
+        self.ring = None
+        ring_info = None
+        if frame_shape is not None and frame_ring_available():
+            self.ring = FrameRing.create(self.n, frame_shape)
+            ring_info = self.ring.attach_info()
+        self.procs = []
+        for i, (fn, wr) in enumerate(zip(env_fns, worker_remotes)):
+            p = ctx.Process(target=_worker, args=(wr, fn, ring_info, i), daemon=True)
+            p.start()
+            self.procs.append(p)
+        self.num_actions = None
+        self._last_obs: List[Optional[Dict]] = [None] * self.n
+
+    # -------------------------------------------------------------------- lifecycle
+
+    def reset(self) -> Dict[str, np.ndarray]:
+        for r in self.remotes:
+            r.send(("reset", None))
+        obs = [self._recv_obs(i, "obs") for i in range(self.n)]
+        self._last_obs = obs
+        return self._stack(obs)
+
+    def _recv_obs(self, i, kind):
+        tag, payload = self.remotes[i].recv()
+        if kind == "obs":
+            obs = payload
+        else:
+            obs = payload[0]
+        if self.ring is not None:
+            obs = dict(obs)
+            obs["visual"] = self.ring.read(i)
+        return obs if kind == "obs" else (obs,) + payload[1:]
+
+    # ------------------------------------------------------------------------ step
+
+    def step_async(self, actions: np.ndarray) -> None:
+        for r, a in zip(self.remotes, actions):
+            r.send(("step", int(a)))
+
+    def step_wait(self):
+        """Gather transitions; with cutoff_fraction < 1, return once enough workers
+        responded (stragglers repeat their previous obs, valid=False)."""
+        need = max(1, int(np.ceil(self.cutoff_fraction * self.n)))
+        deadline = time.monotonic() + self.cutoff_timeout_s
+        pending = set(range(self.n))
+        results: Dict[int, Tuple] = {}
+        while pending and (len(results) < need or self.cutoff_fraction >= 1.0):
+            progressed = False
+            for i in list(pending):
+                if self.remotes[i].poll(0.001):
+                    tag, payload = self.remotes[i].recv()
+                    obs, reward, done, info = payload
+                    if self.ring is not None:
+                        obs = dict(obs)
+                        obs["visual"] = self.ring.read(i)
+                    results[i] = (obs, reward, done, info)
+                    self._last_obs[i] = obs
+                    pending.discard(i)
+                    progressed = True
+            if len(results) >= need and self.cutoff_fraction < 1.0:
+                break
+            if not progressed and time.monotonic() > deadline:
+                break
+
+        obs_list, rewards, dones, infos, valid = [], [], [], [], []
+        for i in range(self.n):
+            if i in results:
+                o, r, d, inf = results[i]
+                obs_list.append(o); rewards.append(r); dones.append(d)
+                infos.append(inf); valid.append(True)
+            else:
+                # Straggler: repeat last obs, zero transition; its real reply is
+                # drained on the next step_wait call.
+                obs_list.append(self._last_obs[i])
+                rewards.append(0.0); dones.append(False); infos.append({})
+                valid.append(False)
+        self._straggler_pending = [i for i in range(self.n) if i not in results]
+        return (self._stack(obs_list), np.asarray(rewards, np.float32),
+                np.asarray(dones, bool), infos, np.asarray(valid, bool))
+
+    def step(self, actions):
+        # Drain any stragglers from a previous cutoff before issuing new commands.
+        for i in getattr(self, "_straggler_pending", []):
+            tag, payload = self.remotes[i].recv()
+            obs = payload[0]
+            if self.ring is not None:
+                obs = dict(obs)
+                obs["visual"] = self.ring.read(i)
+            self._last_obs[i] = obs
+        self._straggler_pending = []
+        self.step_async(actions)
+        return self.step_wait()
+
+    @staticmethod
+    def _stack(obs_list: List[Dict]) -> Dict[str, np.ndarray]:
+        keys = obs_list[0].keys()
+        return {k: np.stack([o[k] for o in obs_list]) for k in keys}
+
+    def close(self):
+        for r in self.remotes:
+            try:
+                r.send(("close", None))
+            except (BrokenPipeError, OSError):
+                pass
+        for p in self.procs:
+            p.join(timeout=2)
+            if p.is_alive():
+                p.terminate()
+        if self.ring is not None:
+            self.ring.close()

@@ -37,6 +37,8 @@ def main():
     resize_dtype = os.environ.get("BENCH_RESIZE_DTYPE", "float32")
 
     enc = build_encoder("clip_rn50", dtype=jnp.bfloat16)
+    if os.environ.get("BENCH_FOLD_BN", "1") == "1":
+        enc = enc.fold_bn()
     if resize_dtype != "float32":
         import dataclasses
 

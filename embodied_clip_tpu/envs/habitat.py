@@ -1,0 +1,90 @@
+"""Habitat ObjectNav/PointNav adapter — a HostEnv over habitat-lab.
+
+Behavioral spec from the reference's habitat fork runbooks (baselines_habitat.md:
+63-97): ObjectNav on MP3D and PointNav on Gibson, RGB (or RGBD) observations, DD-PPO
+training, eval reporting success/SPL. The adapter exposes habitat's own task/reward
+machinery through the HostEnv contract; goal is the object-category id (ObjectNav) or
+the polar pointgoal-with-gps-compass vector (PointNav), matching the policy's
+`object_embed` / `pointgoal` conditioning.
+
+habitat-lab/habitat-sim are not installed in this image — construction raises with
+instructions; the hermetic stand-in is envs/host_gridworld.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from embodied_clip_tpu.envs.base import HostEnv
+
+__all__ = ["HabitatNavEnv"]
+
+
+class HabitatNavEnv(HostEnv):
+    def __init__(self, config_path: str, task: str = "objectnav",
+                 rgb_only: bool = True, max_steps: int = 500, seed: int = 0):
+        try:
+            import habitat
+        except ImportError as e:
+            raise ImportError(
+                "habitat-lab + habitat-sim are required for HabitatNavEnv "
+                "(see the reference's install runbook, baselines_habitat.md). "
+                "For hermetic runs use envs.host_gridworld.HostGridNav."
+            ) from e
+
+        self._habitat = habitat
+        cfg = habitat.get_config(config_path)
+        self.env = habitat.Env(config=cfg)
+        self.env.seed(seed)
+        self.task = task
+        self.rgb_only = rgb_only
+        self.max_steps = max_steps
+        # habitat-lab ObjectNav/PointNav action spaces both start with STOP.
+        self.num_actions = len(self.env.action_space.spaces) \
+            if hasattr(self.env.action_space, "spaces") else self.env.action_space.n
+        self._t = 0
+        self._start_geodesic = 1.0
+
+    def _obs(self, habitat_obs) -> Dict[str, np.ndarray]:
+        out: Dict[str, np.ndarray] = {
+            "visual": np.asarray(habitat_obs["rgb"], dtype=np.uint8)
+        }
+        if not self.rgb_only and "depth" in habitat_obs:
+            out["depth"] = np.asarray(habitat_obs["depth"], dtype=np.float32)
+        if self.task == "objectnav":
+            out["goal"] = np.int32(habitat_obs["objectgoal"][0])
+        else:
+            out["goal"] = np.asarray(
+                habitat_obs["pointgoal_with_gps_compass"], dtype=np.float32
+            )
+        return out
+
+    def reset(self) -> Dict[str, np.ndarray]:
+        obs = self.env.reset()
+        self._t = 0
+        m = self.env.get_metrics()
+        self._start_geodesic = max(float(m.get("distance_to_goal", 1.0)), 1e-3)
+        return self._obs(obs)
+
+    def step(self, action: int) -> Tuple[Dict[str, np.ndarray], float, bool, Dict[str, Any]]:
+        obs = self.env.step(action)
+        self._t += 1
+        m = self.env.get_metrics()
+        done = self.env.episode_over or self._t >= self.max_steps
+        success = float(m.get("success", 0.0))
+        # habitat's slack + success reward shape
+        reward = -0.01 + 10.0 * success
+        info: Dict[str, Any] = {}
+        if done:
+            info = {
+                "success": success,
+                "spl": float(m.get("spl", 0.0)),
+                "episode_len": float(self._t),
+            }
+            return self.reset(), reward, True, info
+        return self._obs(obs), reward, False, info
+
+    def close(self) -> None:
+        self.env.close()

@@ -35,11 +35,13 @@ class CLIPVisual(nn.Module):
 
     model_name: str
     dtype: jnp.dtype = jnp.float32
+    folded: bool = False
 
     def setup(self):
         if self.model_name in CLIP_RESNET_CONFIGS:
             cfg = CLIP_RESNET_CONFIGS[self.model_name]
-            self.trunk = ModifiedResNet(cfg["stage_sizes"], cfg["width"], self.dtype)
+            self.trunk = ModifiedResNet(cfg["stage_sizes"], cfg["width"], self.dtype,
+                                        folded=self.folded)
             self.attnpool = AttentionPool2d(cfg["num_heads"], cfg["output_dim"], self.dtype)
             self.is_vit = False
         elif self.model_name in CLIP_VIT_CONFIGS:

@@ -34,6 +34,9 @@ class _ConvBN(nn.Module):
     kernel: int
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
+    # folded=True: frozen BN pre-folded into conv weights/bias (ops/fold_bn.py) —
+    # inference-only graphs run pure conv+bias in the compute dtype.
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -42,8 +45,10 @@ class _ConvBN(nn.Module):
             self.features, (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
             padding=[(pad, pad), (pad, pad)],
-            use_bias=False, dtype=self.dtype, name="conv",
+            use_bias=self.folded, dtype=self.dtype, name="conv",
         )(x)
+        if self.folded:
+            return x
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=jnp.float32, name="bn",
@@ -59,22 +64,24 @@ class CLIPBottleneck(nn.Module):
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
     expansion: int = 4
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         out_feats = self.features * self.expansion
-        out = nn.relu(_ConvBN(self.features, 1, 1, self.dtype, name="cb1")(x, train))
-        out = nn.relu(_ConvBN(self.features, 3, 1, self.dtype, name="cb2")(out, train))
+        cb = lambda f, k, name: _ConvBN(f, k, 1, self.dtype, self.folded, name=name)
+        out = nn.relu(cb(self.features, 1, "cb1")(x, train))
+        out = nn.relu(cb(self.features, 3, "cb2")(out, train))
         if self.stride > 1:
             out = _avg_pool(out, self.stride)
-        out = _ConvBN(out_feats, 1, 1, self.dtype, name="cb3")(out, train)
+        out = cb(out_feats, 1, "cb3")(out, train)
 
         identity = x
         if self.stride > 1 or x.shape[-1] != out_feats:
             identity = x
             if self.stride > 1:
                 identity = _avg_pool(identity, self.stride)
-            identity = _ConvBN(out_feats, 1, 1, self.dtype, name="down")(identity, train)
+            identity = cb(out_feats, 1, "down")(identity, train)
         return nn.relu(out + identity)
 
 
@@ -85,19 +92,23 @@ class ModifiedResNet(nn.Module):
     stage_sizes: Sequence[int]
     width: int = 64
     dtype: jnp.dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        assert not (self.folded and train), "folded trunks are inference-only"
         x = x.astype(self.dtype)
-        x = nn.relu(_ConvBN(self.width // 2, 3, 2, self.dtype, name="stem1")(x, train))
-        x = nn.relu(_ConvBN(self.width // 2, 3, 1, self.dtype, name="stem2")(x, train))
-        x = nn.relu(_ConvBN(self.width, 3, 1, self.dtype, name="stem3")(x, train))
+        cb = lambda f, s, name: _ConvBN(f, 3, s, self.dtype, self.folded, name=name)
+        x = nn.relu(cb(self.width // 2, 2, "stem1")(x, train))
+        x = nn.relu(cb(self.width // 2, 1, "stem2")(x, train))
+        x = nn.relu(cb(self.width, 1, "stem3")(x, train))
         x = _avg_pool(x, 2)
         for stage, n_blocks in enumerate(self.stage_sizes):
             feats = self.width * (2 ** stage)
             for b in range(n_blocks):
                 stride = 2 if (b == 0 and stage > 0) else 1
-                x = CLIPBottleneck(feats, stride, self.dtype, name=f"layer{stage + 1}_{b}")(x, train)
+                x = CLIPBottleneck(feats, stride, self.dtype, folded=self.folded,
+                                   name=f"layer{stage + 1}_{b}")(x, train)
         return x
 
 

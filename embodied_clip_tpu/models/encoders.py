@@ -101,6 +101,32 @@ class FrozenEncoder:
         (e.g. the RL rollout/update step)."""
         return self._encode_impl
 
+    def fold_bn(self) -> "FrozenEncoder":
+        """Return a new encoder with frozen BN folded into conv weights
+        (ops/fold_bn.py) — the inference-serving configuration: pure conv+bias+relu
+        in the compute dtype, no BN ops or f32 cast islands."""
+        from embodied_clip_tpu.ops.fold_bn import fold_conv_bn_tree
+
+        if self.spec.family == "imagenet":
+            cfg = RESNET_CONFIGS[self.spec.arch]
+            module = ResNet(dtype=self.dtype, folded=True, **cfg)
+            params = fold_conv_bn_tree(
+                self.variables["params"], self.variables["batch_stats"]
+            )
+        else:
+            if self.spec.arch in CLIP_VIT_CONFIGS:
+                return self  # ViT has no BN
+            module = CLIPVisual(self.spec.arch, self.dtype, folded=True)
+            p = dict(self.variables["params"])
+            p["trunk"] = fold_conv_bn_tree(
+                self.variables["params"]["trunk"],
+                self.variables["batch_stats"]["trunk"],
+            )
+            params = p
+        return FrozenEncoder(
+            self.spec, module, {"params": params}, self.image_size, self.dtype
+        )
+
     def load_torch_state_dict(self, sd) -> "FrozenEncoder":
         """Replace random-init weights with a converted reference checkpoint."""
         if self.spec.family == "imagenet":

@@ -29,6 +29,8 @@ class _ConvBN(nn.Module):
     kernel: int
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
+    # folded=True: frozen BN pre-folded into conv weights/bias (ops/fold_bn.py).
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -38,10 +40,12 @@ class _ConvBN(nn.Module):
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
             padding=[(pad, pad), (pad, pad)],
-            use_bias=False,
+            use_bias=self.folded,
             dtype=self.dtype,
             name="conv",
         )(x)
+        if self.folded:
+            return x
         # BN statistics/affine in f32 even under a bf16 trunk: the per-channel affine is
         # cheap, fuses into the conv epilogue, and protects the 1e-3 fidelity bound.
         x = nn.BatchNorm(
@@ -60,15 +64,17 @@ class BasicBlock(nn.Module):
     features: int
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         identity = x
-        out = _ConvBN(self.features, 3, self.stride, self.dtype, name="cb1")(x, train)
+        cb = lambda f, k, s, name: _ConvBN(f, k, s, self.dtype, self.folded, name=name)
+        out = cb(self.features, 3, self.stride, "cb1")(x, train)
         out = nn.relu(out)
-        out = _ConvBN(self.features, 3, 1, self.dtype, name="cb2")(out, train)
+        out = cb(self.features, 3, 1, "cb2")(out, train)
         if self.stride != 1 or x.shape[-1] != self.features:
-            identity = _ConvBN(self.features, 1, self.stride, self.dtype, name="down")(x, train)
+            identity = cb(self.features, 1, self.stride, "down")(x, train)
         return nn.relu(out + identity)
 
 
@@ -79,16 +85,18 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
     expansion: int = 4
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         identity = x
         out_feats = self.features * self.expansion
-        out = nn.relu(_ConvBN(self.features, 1, 1, self.dtype, name="cb1")(x, train))
-        out = nn.relu(_ConvBN(self.features, 3, self.stride, self.dtype, name="cb2")(out, train))
-        out = _ConvBN(out_feats, 1, 1, self.dtype, name="cb3")(out, train)
+        cb = lambda f, k, s, name: _ConvBN(f, k, s, self.dtype, self.folded, name=name)
+        out = nn.relu(cb(self.features, 1, 1, "cb1")(x, train))
+        out = nn.relu(cb(self.features, 3, self.stride, "cb2")(out, train))
+        out = cb(out_feats, 1, 1, "cb3")(out, train)
         if self.stride != 1 or x.shape[-1] != out_feats:
-            identity = _ConvBN(out_feats, 1, self.stride, self.dtype, name="down")(x, train)
+            identity = cb(out_feats, 1, self.stride, "down")(x, train)
         return nn.relu(out + identity)
 
 
@@ -99,11 +107,13 @@ class ResNet(nn.Module):
     block: str = "bottleneck"  # or "basic"
     width: int = 64
     dtype: jnp.dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        assert not (self.folded and train), "folded trunks are inference-only"
         x = x.astype(self.dtype)
-        x = _ConvBN(self.width, 7, 2, self.dtype, name="stem")(x, train)
+        x = _ConvBN(self.width, 7, 2, self.dtype, self.folded, name="stem")(x, train)
         x = nn.relu(x)
         # torchvision maxpool: 3x3 stride 2 pad 1.
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
@@ -112,7 +122,8 @@ class ResNet(nn.Module):
             feats = self.width * (2 ** stage)
             for b in range(n_blocks):
                 stride = 2 if (b == 0 and stage > 0) else 1
-                x = block_cls(feats, stride, self.dtype, name=f"layer{stage + 1}_{b}")(x, train)
+                x = block_cls(feats, stride, self.dtype, folded=self.folded,
+                              name=f"layer{stage + 1}_{b}")(x, train)
         return x
 
 

@@ -70,7 +70,7 @@ class NavRLExperiment(Experiment):
             from embodied_clip_tpu.zeroshot import seen_unseen_class_ids
 
             class_set = seen_unseen_class_ids()[0]
-        return GridNavEnv(size=8, max_steps=64, class_set=class_set)
+        return GridNavEnv(size=8, max_steps=64, class_set=class_set, task=self.task)
 
     def _build_policy(self, env):
         from embodied_clip_tpu.models.policy import ActorCritic

@@ -70,6 +70,10 @@ class GridNavEnv:
     # Restrict object classes to a subset (zero-shot seen/unseen splits,
     # readme_files/zeroshot_objectnav.md:31-32). None = all classes.
     class_set: Optional[Tuple[int, ...]] = None
+    # 'objectnav': goal = target object class id. 'pointnav': goal = egocentric
+    # (distance, heading) to the target, recomputed every step — the
+    # pointgoal-with-gps-compass analogue (reference baselines_habitat.md PointNav).
+    task: str = "objectnav"
 
     @property
     def num_actions(self) -> int:
@@ -137,7 +141,16 @@ class GridNavEnv:
         visual = jnp.concatenate([cls_map, in_bounds[..., None].astype(jnp.float32)], -1)
         if self.flat_obs:
             visual = visual.reshape(b, -1)
-        goal = jnp.take_along_axis(s.object_cls, s.target_idx[:, None], 1)[:, 0]
+        if self.task == "pointnav":
+            # Egocentric polar goal: (distance, heading) in the agent frame.
+            d = (self._target_pos(s) - s.agent_pos).astype(jnp.float32)  # world (dy,dx)
+            rotf = _ROT[s.agent_dir].astype(jnp.float32)                  # ego→world
+            ego = jnp.einsum("bd,bed->be", d, rotf)                       # (fwd, right)
+            dist = jnp.linalg.norm(d, axis=-1)
+            heading = jnp.arctan2(ego[:, 1], ego[:, 0])
+            goal = jnp.stack([dist / self.size, heading], -1)
+        else:
+            goal = jnp.take_along_axis(s.object_cls, s.target_idx[:, None], 1)[:, 0]
         return {"visual": visual, "goal": goal}
 
     def render_frames(self, s: GridNavState, cell_px: int = 8) -> jnp.ndarray:

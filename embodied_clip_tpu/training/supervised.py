@@ -20,6 +20,7 @@ import optax
 
 from embodied_clip_tpu.models.probes import build_probe, probe_loss, probe_metrics
 from embodied_clip_tpu.utils.checkpoint import BestCheckpointer
+from embodied_clip_tpu.utils.prefetch import prefetch_to_device
 from embodied_clip_tpu.utils.seeding import seed_everything
 from embodied_clip_tpu.utils.tensorboard import SummaryWriter
 
@@ -97,9 +98,10 @@ class ProbeTrainer:
         val_every = max(1, steps // max(1, self.cfg.val_per_epoch))
         last_val: Dict[str, float] = {}
         for _epoch in range(self.cfg.max_epochs):
-            for i, (x, y) in enumerate(dm.batches("train")):
+            batches = prefetch_to_device(dm.batches("train"))
+            for i, (x, y) in enumerate(batches):
                 self.params, self.opt_state, loss = self._train_step(
-                    self.params, self.opt_state, jnp.asarray(x), jax.tree.map(jnp.asarray, y)
+                    self.params, self.opt_state, x, y
                 )
                 self.global_step += 1
                 if self.writer and self.global_step % self.cfg.log_every == 0:
@@ -112,10 +114,8 @@ class ProbeTrainer:
 
     def evaluate(self, dm, split: str) -> Dict[str, float]:
         tot_loss, tot_acc, n = 0.0, 0.0, 0
-        for x, y in dm.batches(split, shuffle=False):
-            loss, metrics = self._eval_step(
-                self.params, jnp.asarray(x), jax.tree.map(jnp.asarray, y)
-            )
+        for x, y in prefetch_to_device(dm.batches(split, shuffle=False)):
+            loss, metrics = self._eval_step(self.params, x, y)
             tot_loss += float(loss)
             tot_acc += float(metrics["accuracy"])
             n += 1

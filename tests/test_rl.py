@@ -109,3 +109,18 @@ def test_ddppo_conv_policy_step_runs():
     params, opt_state, act = learner.init(jax.random.PRNGKey(0))
     params, opt_state, act, m = learner.train_iteration(params, opt_state, act)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_pointnav_fake_env_and_policy():
+    env = GridNavEnv(size=6, max_steps=24, flat_obs=True, task="pointnav")
+    _, obs = env.reset(jax.random.PRNGKey(0), 4)
+    assert obs["goal"].shape == (4, 2)
+    policy = ActorCritic(num_actions=env.num_actions, goal_kind="pointgoal",
+                         goal_input_dim=2, hidden=64, visual_is_map=False)
+    learner = DDPPOLearner(env, policy, DDPPOConfig(
+        rollout_len=32, env_batch=16, ppo=PPOConfig(lr=3e-3, epochs=4)))
+    params, opt, act = learner.init(jax.random.PRNGKey(0))
+    m = {}
+    for _ in range(50):
+        params, opt, act, m = learner.train_iteration(params, opt, act)
+    assert float(m["success"]) > 0.4, float(m["success"])

@@ -48,6 +48,27 @@ class VisualCompressor(nn.Module):
         return x.reshape(x.shape[0], -1)
 
 
+class ScratchCNN(nn.Module):
+    """Small from-scratch visual encoder trained end-to-end on raw frames — the
+    habitat "scratch" baselines (ddppo_objectnav_rgb[d], baselines_habitat.md:75,
+    'visual encoder is trained from scratch'). Habitat-SimpleCNN-shaped: 3 strided
+    convs → flatten → Dense."""
+
+    out: int = 512
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if x.dtype == jnp.uint8:
+            x = x.astype(self.dtype) / 255.0
+        x = x.astype(self.dtype)
+        x = nn.relu(nn.Conv(32, (8, 8), strides=(4, 4), dtype=self.dtype, name="c1")(x))
+        x = nn.relu(nn.Conv(64, (4, 4), strides=(2, 2), dtype=self.dtype, name="c2")(x))
+        x = nn.relu(nn.Conv(64, (3, 3), strides=(2, 2), dtype=self.dtype, name="c3")(x))
+        x = x.reshape(x.shape[0], -1)
+        return nn.relu(nn.Dense(self.out, dtype=self.dtype, name="fc")(x))
+
+
 class ActorCritic(nn.Module):
     num_actions: int
     goal_kind: str = "object_embed"
@@ -57,11 +78,16 @@ class ActorCritic(nn.Module):
     hidden: int = 512
     use_prev_action: bool = True
     visual_is_map: bool = True        # conv map vs flat feature vector
+    # Train the visual encoder from scratch on raw frames (habitat scratch baselines);
+    # overrides visual_is_map.
+    scratch_cnn: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         assert self.goal_kind in GOAL_KINDS
-        if self.visual_is_map:
+        if self.scratch_cnn:
+            self.scratch = ScratchCNN(dtype=self.dtype)
+        elif self.visual_is_map:
             self.compressor = VisualCompressor(dtype=self.dtype)
         else:
             self.visual_fc = nn.Dense(512, dtype=self.dtype)
@@ -79,7 +105,9 @@ class ActorCritic(nn.Module):
     def _features(self, obs: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         parts = []
         v = obs["visual"]
-        if self.visual_is_map:
+        if self.scratch_cnn:
+            parts.append(self.scratch(v))
+        elif self.visual_is_map:
             parts.append(self.compressor(v))
         else:
             parts.append(nn.relu(self.visual_fc(v.astype(self.dtype))))

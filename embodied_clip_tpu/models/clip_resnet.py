@@ -136,20 +136,25 @@ class AttentionPool2d(nn.Module):
             lambda key, shape: jax.random.normal(key, shape) / (c ** 0.5),
             (h * w + 1, c),
         )
-        tokens = (tokens + pos[None].astype(tokens.dtype)).astype(jnp.float32)
+        tokens = tokens + pos[None].astype(tokens.dtype)
 
+        # Projections in the compute dtype (the k/v matmuls over all 50 tokens are
+        # the pool's FLOPs); logits/softmax in f32 — that's where precision matters.
         head_dim = c // self.num_heads
-        q = nn.Dense(c, dtype=jnp.float32, name="q_proj")(tokens[:, :1])
-        k = nn.Dense(c, dtype=jnp.float32, name="k_proj")(tokens)
-        v = nn.Dense(c, dtype=jnp.float32, name="v_proj")(tokens)
+        q = nn.Dense(c, dtype=self.dtype, name="q_proj")(tokens[:, :1])
+        k = nn.Dense(c, dtype=self.dtype, name="k_proj")(tokens)
+        v = nn.Dense(c, dtype=self.dtype, name="v_proj")(tokens)
         q = q.reshape(n, 1, self.num_heads, head_dim)
         k = k.reshape(n, h * w + 1, self.num_heads, head_dim)
         v = v.reshape(n, h * w + 1, self.num_heads, head_dim)
-        # (n, heads, 1, hw+1) logits in f32 — a 50-token softmax, precision matters
-        # more than speed here.
-        logits = jnp.einsum("nqhd,nkhd->nhqk", q, k) / (head_dim ** 0.5)
-        attn = jax.nn.softmax(logits, axis=-1)
-        pooled = jnp.einsum("nhqk,nkhd->nqhd", attn, v).reshape(n, c)
+        logits = jnp.einsum(
+            "nqhd,nkhd->nhqk", q, k, preferred_element_type=jnp.float32
+        ) / (head_dim ** 0.5)
+        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        pooled = jnp.einsum(
+            "nhqk,nkhd->nqhd", attn.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        ).reshape(n, c)
         out = nn.Dense(self.output_dim, dtype=jnp.float32, name="c_proj")(pooled)
         return out.astype(self.dtype)
 

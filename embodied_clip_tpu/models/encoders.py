@@ -107,18 +107,17 @@ class FrozenEncoder:
         in the compute dtype, no BN ops or f32 cast islands."""
         from embodied_clip_tpu.ops.fold_bn import fold_conv_bn_tree
 
+        fold = jax.jit(fold_conv_bn_tree)  # one program, stays on device
         if self.spec.family == "imagenet":
             cfg = RESNET_CONFIGS[self.spec.arch]
             module = ResNet(dtype=self.dtype, folded=True, **cfg)
-            params = fold_conv_bn_tree(
-                self.variables["params"], self.variables["batch_stats"]
-            )
+            params = fold(self.variables["params"], self.variables["batch_stats"])
         else:
             if self.spec.arch in CLIP_VIT_CONFIGS:
                 return self  # ViT has no BN
             module = CLIPVisual(self.spec.arch, self.dtype, folded=True)
             p = dict(self.variables["params"])
-            p["trunk"] = fold_conv_bn_tree(
+            p["trunk"] = fold(
                 self.variables["params"]["trunk"],
                 self.variables["batch_stats"]["trunk"],
             )
@@ -149,15 +148,13 @@ def build_encoder(name: str, dtype=jnp.float32, seed: int = 0,
         cfg = RESNET_CONFIGS[spec.arch]
         module = ResNet(dtype=dtype, **cfg)
         size = 224
-        variables = module.init(
-            jax.random.PRNGKey(seed), jnp.zeros((1, size, size, 3), dtype), train=False
-        )
     else:
         module = CLIPVisual(spec.arch, dtype)
         size = image_size_of(spec.arch)
-        variables = module.init(
-            jax.random.PRNGKey(seed), jnp.zeros((1, size, size, 3), dtype), train=False
-        )
+    # jit the init: eager init dispatches hundreds of tiny ops (pathological through
+    # a remote-compile harness); one compiled program initializes everything.
+    init = jax.jit(lambda key, x: module.init(key, x, train=False))
+    variables = init(jax.random.PRNGKey(seed), jnp.zeros((1, size, size, 3), dtype))
     enc = FrozenEncoder(spec, module, dict(variables), size, dtype)
     if torch_checkpoint is not None:
         enc.load_torch_state_dict(convert_mod.load_torch_checkpoint(torch_checkpoint))

@@ -21,7 +21,8 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
-import numpy as np
+import jax
+import jax.numpy as jnp
 
 __all__ = ["fold_conv_bn_tree"]
 
@@ -29,16 +30,18 @@ _EPS = 1e-5
 
 
 def _fold_one(cb_params: Dict[str, Any], cb_stats: Dict[str, Any]) -> Dict[str, Any]:
-    kernel = np.asarray(cb_params["conv"]["kernel"], np.float64)
-    gamma = np.asarray(cb_params["bn"]["scale"], np.float64)
-    beta = np.asarray(cb_params["bn"]["bias"], np.float64)
-    mean = np.asarray(cb_stats["bn"]["mean"], np.float64)
-    var = np.asarray(cb_stats["bn"]["var"], np.float64)
-    scale = gamma / np.sqrt(var + _EPS)
+    # Device-side (jnp, jit-friendly) so folding never round-trips params through the
+    # host; wrap the whole-tree call in jax.jit for a single compiled program.
+    kernel = jnp.asarray(cb_params["conv"]["kernel"], jnp.float32)
+    gamma = jnp.asarray(cb_params["bn"]["scale"], jnp.float32)
+    beta = jnp.asarray(cb_params["bn"]["bias"], jnp.float32)
+    mean = jnp.asarray(cb_stats["bn"]["mean"], jnp.float32)
+    var = jnp.asarray(cb_stats["bn"]["var"], jnp.float32)
+    scale = gamma * jax.lax.rsqrt(var + _EPS)
     return {
         "conv": {
-            "kernel": (kernel * scale).astype(np.float32),
-            "bias": (beta - mean * scale).astype(np.float32),
+            "kernel": kernel * scale,
+            "bias": beta - mean * scale,
         }
     }
 

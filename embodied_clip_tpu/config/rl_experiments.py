@@ -183,14 +183,83 @@ class NavRLExperiment(Experiment):
         self._last_env = env
         return out
 
+    # host backends -------------------------------------------------------------
+
+    num_workers: int = 8
+    straggler_cutoff: float = 1.0   # <1.0 enables DD-PPO laggard masking
+
+    def _host_env_fns(self):
+        if self.backend == "hostgrid":
+            from embodied_clip_tpu.envs.host_gridworld import HostGridNav
+
+            return [lambda i=i: HostGridNav(size=6, seed=i) for i in range(self.num_workers)], (56, 56, 3)
+        if self.backend == "thor":
+            from embodied_clip_tpu.envs.thor import THORObjectNavEnv
+
+            scenes = [f"FloorPlan_Train{i}_{j}" for i in range(1, 13) for j in range(1, 6)]
+            return [lambda s=seed: THORObjectNavEnv(scenes, seed=s)
+                    for seed in range(self.num_workers)], (300, 300, 3)
+        if self.backend == "habitat":
+            from embodied_clip_tpu.envs.habitat import HabitatNavEnv
+
+            cfg = os.environ.get("ECT_HABITAT_CONFIG", f"configs/tasks/{self.task}.yaml")
+            return [lambda s=seed: HabitatNavEnv(cfg, task=self.task, seed=s)
+                    for seed in range(self.num_workers)], (480, 640, 3)
+        raise ValueError(f"unknown backend {self.backend!r}")
+
     def _train_host(self, output_dir: str, ckpt: Optional[str]) -> dict:
-        """THOR/Habitat backends: VectorEnv pool + host rollouts + jitted PPO update."""
-        raise NotImplementedError(
-            f"backend={self.backend!r} training requires the simulator to be "
-            "installed; see envs/thor.py / envs/habitat.py. The TPU-side learner is "
-            "identical to backend='fake' — wire a VectorEnv of the adapter envs "
-            "through training/host_rollout.HostRolloutCollector."
-        )
+        """THOR/Habitat (and hostgrid test) backends: VectorEnv pool + host rollouts
+        + jitted PPO update on device."""
+        import jax
+
+        from embodied_clip_tpu.envs.vector import VectorEnv
+        from embodied_clip_tpu.training.ddppo import DDPPOConfig
+        from embodied_clip_tpu.training.host_ppo import HostPPOLearner
+        from embodied_clip_tpu.training.ppo import PPOConfig
+        from embodied_clip_tpu.utils.checkpoint import StepCheckpointer, restore_pytree
+        from embodied_clip_tpu.utils.seeding import seed_everything
+
+        key = seed_everything(self.seed)
+        env_fns, frame_shape = self._host_env_fns()
+        venv = VectorEnv(env_fns, frame_shape=frame_shape,
+                         cutoff_fraction=self.straggler_cutoff)
+        try:
+            from embodied_clip_tpu.models.policy import ActorCritic
+
+            encode = self._encode_fn()
+            num_actions = {"hostgrid": 4, "thor": 6, "habitat": 6}[self.backend]
+            policy = ActorCritic(
+                num_actions=num_actions,
+                goal_kind="pointgoal" if self.task == "pointnav" else "object_embed",
+                num_goal_classes=12, hidden=self.hidden,
+                visual_is_map=encode is not None,
+                scratch_cnn=encode is None,
+            )
+            learner = HostPPOLearner(venv, policy, DDPPOConfig(
+                rollout_len=self.rollout_len, env_batch=venv.n,
+                ppo=PPOConfig(lr=self.lr, epochs=self.ppo_epochs)),
+                encode_fn=encode)
+            params, opt_state = learner.init(key)
+            if ckpt:
+                params = restore_pytree(ckpt, params)
+            ckpts = StepCheckpointer(os.path.join(output_dir, self.name), prefix="exp")
+            steps_per_iter = self.rollout_len * venv.n
+            env_steps, last_ckpt = 0, 0
+            metrics = {}
+            while env_steps < self.total_env_steps:
+                params, opt_state, metrics = learner.train_iteration(params, opt_state)
+                env_steps += steps_per_iter
+                if env_steps - last_ckpt >= self.ckpt_every_steps:
+                    ckpts.save(env_steps, {"params": params})
+                    last_ckpt = env_steps
+            ckpts.save(env_steps, {"params": params})
+            self._last_params = params
+            self._last_policy = policy
+            out = {k: float(v) for k, v in metrics.items()}
+            out["env_steps"] = env_steps
+            return out
+        finally:
+            venv.close()
 
     # ------------------------------------------------------------------------ eval
 

@@ -1,0 +1,79 @@
+"""DD-PPO learner for host-env backends (THOR / Habitat / any VectorEnv).
+
+Composition: HostRolloutCollector gathers (T, B) rollouts from the CPU worker pool
+(frozen-CLIP encode runs inside the jitted act step), then a single jitted update —
+GAE + K PPO epochs — runs on device. This is the reference's deployment shape
+(simulators on CPU hosts, learner on accelerator; SURVEY.md §3.5) with the NCCL
+allreduce replaced by mesh sharding: shard the rollout batch over 'dp' and XLA emits
+the gradient psum.
+
+Straggler tolerance comes from VectorEnv's cutoff_fraction (DD-PPO's signature knob).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import optax
+
+from embodied_clip_tpu.training.ddppo import DDPPOConfig
+from embodied_clip_tpu.training.host_rollout import HostRolloutCollector
+from embodied_clip_tpu.training.ppo import Rollout, compute_gae, ppo_loss
+
+__all__ = ["HostPPOLearner"]
+
+
+class HostPPOLearner:
+    def __init__(self, venv, policy, cfg: DDPPOConfig,
+                 encode_fn: Optional[Callable] = None,
+                 goal_map_fn: Optional[Callable] = None):
+        self.venv = venv
+        self.policy = policy
+        self.cfg = cfg
+        self.collector = HostRolloutCollector(venv, policy, encode_fn, goal_map_fn)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.ppo.max_grad_norm),
+            optax.adam(cfg.ppo.lr),
+        )
+        self._update = jax.jit(self._update_impl, donate_argnums=(0, 1))
+
+    def init(self, key) -> Tuple[dict, optax.OptState]:
+        import jax.numpy as jnp
+
+        self.collector.reset(key)
+        obs0 = self.collector._policy_obs(
+            self.collector._obs, self.collector._prev_action
+        )
+        n = self.venv.n
+        params = self.policy.init(
+            key, obs0, self.policy.initial_state(n), jnp.zeros((n,), bool)
+        )["params"]
+        return params, self.tx.init(params)
+
+    def _update_impl(self, params, opt_state, rollout: Rollout, last_value):
+        cfg = self.cfg.ppo
+        advantages, returns = compute_gae(
+            rollout.rewards, rollout.values, rollout.dones, last_value,
+            cfg.gamma, cfg.gae_lambda,
+        )
+        metrics = None
+        for _ in range(cfg.epochs):
+            (loss, metrics), grads = jax.value_and_grad(ppo_loss, has_aux=True)(
+                params, self.policy.apply, rollout, advantages, returns, cfg
+            )
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    def train_iteration(self, params, opt_state) -> Tuple[dict, optax.OptState, Dict]:
+        rollout, last_value, env_metrics = self.collector.collect(
+            params, self.cfg.rollout_len
+        )
+        params, opt_state, loss_metrics = self._update(
+            params, opt_state, rollout, last_value
+        )
+        metrics = dict(env_metrics)
+        metrics.update({k: float(v) for k, v in loss_metrics.items()})
+        metrics["env_steps"] = float(self.cfg.rollout_len * self.venv.n)
+        return params, opt_state, metrics

@@ -86,3 +86,19 @@ def test_host_rollout_collection():
         assert np.isfinite(float(loss))
     finally:
         venv.close()
+
+
+def test_hostgrid_backend_experiment_trains(tmp_path):
+    """Full host-backend path: VectorEnv pool -> HostPPOLearner -> checkpoints."""
+    from embodied_clip_tpu.config.rl_experiments import NavRLExperiment
+
+    exp = NavRLExperiment(
+        name="hostgrid_smoke", backend="hostgrid", encoder=None,
+        total_env_steps=64, rollout_len=8, hidden=32, num_workers=2,
+        ckpt_every_steps=10 ** 9,
+    )
+    out = exp.train(output_dir=str(tmp_path))
+    assert out["env_steps"] >= 64
+    assert np.isfinite(out["loss"])
+    import glob
+    assert glob.glob(str(tmp_path / "hostgrid_smoke" / "exp__steps_*"))

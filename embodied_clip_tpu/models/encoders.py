@@ -66,6 +66,13 @@ class FrozenEncoder:
         self.preprocess = make_preprocessor(
             "clip" if spec.family == "clip" else "imagenet", image_size, dtype
         )
+        if dtype == jnp.bfloat16:
+            # Throughput mode: the fused pallas preprocess kernel (1.46x the XLA
+            # lowering on v5e; ≤1 LSB pixel diff, absorbed by the uint8-grid
+            # quantize). f32 encoders keep the full-precision XLA path.
+            import dataclasses as _dc
+
+            self.preprocess = _dc.replace(self.preprocess, use_pallas=True)
         self._encode = jax.jit(self._encode_impl)
 
     # -- pure function (jit target) ------------------------------------------------

@@ -41,6 +41,10 @@ class Preprocessor:
     pil_exact: bool = True
     # 'bfloat16' trades ≤1 LSB pixel error for ~6x cheaper resize matmuls (rollouts).
     resize_matmul_dtype: str = "float32"
+    # Run the whole pipeline as ONE pallas kernel (ops/pallas/preprocess_kernel.py):
+    # both resize passes + quantize + normalize stay in VMEM, no HBM intermediates.
+    # Requires uint8 input with an actual resize; falls back to the XLA path otherwise.
+    use_pallas: bool = False
 
     def __call__(self, frames: jnp.ndarray) -> jnp.ndarray:
         """uint8/float NHWC (or HWC) frames → normalized NHWC in self.dtype."""
@@ -48,6 +52,19 @@ class Preprocessor:
         if squeeze:
             frames = frames[None]
         n, h, w, c = frames.shape
+        import jax
+
+        if (self.use_pallas and frames.dtype == jnp.uint8
+                and (h, w) != (self.size, self.size)
+                and jax.default_backend() == "tpu"):
+            from embodied_clip_tpu.ops.pallas.preprocess_kernel import (
+                fused_preprocess_pallas,
+            )
+
+            out = fused_preprocess_pallas(
+                frames, self.size, self.mean, self.std, self.method, self.dtype
+            )
+            return out[0] if squeeze else out
         # Filter in f32 regardless of output dtype: the weights are row-stochastic so
         # f32 accumulation keeps us within the 1e-3 feature-fidelity envelope even when
         # the encoder itself runs bf16.

@@ -37,6 +37,8 @@ def _cmd_probe_train(argv):
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--ckpt-dir", dest="ckpt_dir", default=None)
+    p.add_argument("--ckpt", default=None, help="restore params from checkpoint")
+    p.add_argument("--eval", action="store_true", help="skip training; test only")
     args = p.parse_args(argv)
 
     from embodied_clip_tpu.data.probing import ProbeDataModule
@@ -52,9 +54,14 @@ def _cmd_probe_train(argv):
         lr=args.lr, batch_size=args.batch_size, max_epochs=args.max_epochs,
         log_dir=args.log_dir, ckpt_dir=args.ckpt_dir,
     ))
-    val = trainer.fit(dm)
-    test = trainer.test(dm)
-    print(json.dumps({"val": val, "test": test}))
+    if args.ckpt:
+        x0, _ = next(dm.batches("train", shuffle=False))
+        trainer.load(args.ckpt, x0)
+    result = {}
+    if not args.eval:
+        result["val"] = trainer.fit(dm)
+    result["test"] = trainer.test(dm, use_best=not args.eval or args.ckpt is None)
+    print(json.dumps(result))
 
 
 def _cmd_extract_features(argv):

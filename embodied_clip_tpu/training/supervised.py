@@ -84,6 +84,17 @@ class ProbeTrainer:
         self.params = self.module.init(key, jnp.asarray(example_x[:1]))["params"]
         self.opt_state = self.tx.init(self.params)
 
+    def load(self, path: str, example_x) -> None:
+        """Restore probe params from a checkpoint (reference `-c ckpt` / eval flow)."""
+        from embodied_clip_tpu.utils.checkpoint import restore_pytree
+
+        if self.params is None:
+            self.init(example_x)
+        restored = restore_pytree(path, self.params)
+        if isinstance(restored, dict) and "params" in restored:
+            restored = restored["params"]
+        self.params = restored
+
     def _log(self, tag: str, value: float) -> None:
         if self.writer:
             self.writer.add_scalar(tag, value, self.global_step)

@@ -143,3 +143,23 @@ def test_pt_compat_loading(data_dir, tmp_path):
     np.testing.assert_array_equal(y, arrays["object_presence"][:8])
     xc, _ = load_probe_split(d, "train", "clip_avgpool", "object_localization")
     np.testing.assert_allclose(xc, arrays["clip_conv"][:8], atol=1e-6)
+
+
+def test_probe_checkpoint_roundtrip(data_dir, tmp_path):
+    """Best-val checkpoint persists to disk and restores for eval-only runs
+    (reference ModelCheckpoint + ckpt_path='best', train.py:160-174)."""
+    from embodied_clip_tpu.training.supervised import ProbeTrainConfig, ProbeTrainer
+
+    dm = ProbeDataModule(data_dir, "clip_avgpool", "object_presence", batch_size=128).setup()
+    tr = ProbeTrainer(ProbeTrainConfig(
+        embedding_type="clip_avgpool", prediction_type="object_presence",
+        max_epochs=3, ckpt_dir=str(tmp_path)))
+    tr.fit(dm)
+    test1 = tr.test(dm)
+
+    tr2 = ProbeTrainer(ProbeTrainConfig(
+        embedding_type="clip_avgpool", prediction_type="object_presence"))
+    x0, _ = next(dm.batches("train", shuffle=False))
+    tr2.load(str(tmp_path / "best"), x0)
+    test2 = tr2.evaluate(dm, "test")
+    np.testing.assert_allclose(test2["accuracy"], test1["accuracy"], atol=1e-6)

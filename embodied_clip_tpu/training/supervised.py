@@ -41,6 +41,9 @@ class ProbeTrainConfig:
     # Materializing the loss scalar forces a device→host sync; sample it rather than
     # stalling the TPU every step (the reference logs per-step because torch is eager).
     log_every: int = 20
+    # Data-parallel training over a mesh 'dp' axis (the reference's pl.Trainer(gpus=N),
+    # train.py:132-133,156). Probes are tiny — this is for batch throughput at scale.
+    data_parallel: bool = False
 
 
 class ProbeTrainer:
@@ -74,8 +77,35 @@ class ProbeTrainer:
             logits = self.module.apply({"params": params}, x)
             return probe_loss(pt, logits, y), probe_metrics(pt, logits, y)
 
+        self.mesh = None
+        self._batch_sharding = None
+        if config.data_parallel:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from embodied_clip_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh()
+            self._batch_sharding = NamedSharding(self.mesh, P("dp"))
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self._eval_step = jax.jit(eval_step)
+
+    def _put_batch(self, batch):
+        """Device placement: dp-shard full batches; replicate indivisible remainders
+        (their shapes trigger a separate compile anyway, so correctness holds)."""
+        import jax
+
+        if self._batch_sharding is None:
+            return jax.tree.map(jax.device_put, batch)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ndev = self.mesh.shape["dp"]
+        rep = NamedSharding(self.mesh, P())
+
+        def put(x):
+            sh = self._batch_sharding if x.shape[0] % ndev == 0 else rep
+            return jax.device_put(x, sh)
+
+        return jax.tree.map(put, batch)
 
     # ------------------------------------------------------------------ lifecycle
 
@@ -109,7 +139,7 @@ class ProbeTrainer:
         val_every = max(1, steps // max(1, self.cfg.val_per_epoch))
         last_val: Dict[str, float] = {}
         for _epoch in range(self.cfg.max_epochs):
-            batches = prefetch_to_device(dm.batches("train"))
+            batches = prefetch_to_device(dm.batches("train"), sharding=self._put_batch)
             for i, (x, y) in enumerate(batches):
                 self.params, self.opt_state, loss = self._train_step(
                     self.params, self.opt_state, x, y
@@ -125,7 +155,8 @@ class ProbeTrainer:
 
     def evaluate(self, dm, split: str) -> Dict[str, float]:
         tot_loss, tot_acc, n = 0.0, 0.0, 0
-        for x, y in prefetch_to_device(dm.batches(split, shuffle=False)):
+        for x, y in prefetch_to_device(dm.batches(split, shuffle=False),
+                                       sharding=self._put_batch):
             loss, metrics = self._eval_step(self.params, x, y)
             tot_loss += float(loss)
             tot_acc += float(metrics["accuracy"])

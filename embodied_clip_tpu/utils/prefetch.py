@@ -21,6 +21,8 @@ def prefetch_to_device(iterator: Iterable, size: int = 2, sharding=None) -> Iter
     queue = collections.deque()
 
     def put(item):
+        if callable(sharding):
+            return sharding(item)
         if sharding is not None:
             return jax.device_put(item, sharding)
         return jax.tree.map(jax.device_put, item)

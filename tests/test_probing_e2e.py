@@ -163,3 +163,20 @@ def test_probe_checkpoint_roundtrip(data_dir, tmp_path):
     tr2.load(str(tmp_path / "best"), x0)
     test2 = tr2.evaluate(dm, "test")
     np.testing.assert_allclose(test2["accuracy"], test1["accuracy"], atol=1e-6)
+
+
+def test_probe_data_parallel_matches_single(data_dir):
+    """dp-sharded probe training (8-device mesh) reproduces single-device results."""
+    from embodied_clip_tpu.training.supervised import ProbeTrainConfig, ProbeTrainer
+
+    results = []
+    for dp in (False, True):
+        dm = ProbeDataModule(data_dir, "clip_avgpool", "object_presence",
+                             batch_size=128).setup()
+        tr = ProbeTrainer(ProbeTrainConfig(
+            embedding_type="clip_avgpool", prediction_type="object_presence",
+            max_epochs=4, data_parallel=dp))
+        tr.fit(dm)
+        results.append(tr.test(dm))
+    np.testing.assert_allclose(results[0]["accuracy"], results[1]["accuracy"], atol=5e-3)
+    np.testing.assert_allclose(results[0]["loss"], results[1]["loss"], atol=5e-3)

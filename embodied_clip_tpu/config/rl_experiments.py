@@ -155,13 +155,27 @@ class NavRLExperiment(Experiment):
 
         params, opt_state, act = learner.init(key)
         ckpts = StepCheckpointer(os.path.join(output_dir, self.name), prefix="exp")
+        env_steps, it = 0, 0
         if ckpt:
             from embodied_clip_tpu.utils.checkpoint import restore_pytree
 
             params = restore_pytree(ckpt, params)
+        else:
+            # Resume-on-restart from the latest step-stamped checkpoint
+            # (DD-PPO preemption tolerance; SURVEY.md §5 failure recovery).
+            latest, state = ckpts.restore_latest({"params": params})
+            if latest is not None:
+                params = state["params"]
+                env_steps = latest
+
+        writer = None
+        if self.log_dir:
+            from embodied_clip_tpu.utils.tensorboard import SummaryWriter
+
+            writer = SummaryWriter(os.path.join(self.log_dir, self.name))
 
         steps_per_iter = self.rollout_len * self.env_batch
-        env_steps, it, last_ckpt = 0, 0, 0
+        last_ckpt = env_steps
         metrics = {}
         while env_steps < self.total_env_steps:
             if self.algo == "dagger":
@@ -172,10 +186,16 @@ class NavRLExperiment(Experiment):
                     params, opt_state, act)
             env_steps += steps_per_iter
             it += 1
+            if writer and it % 10 == 0:
+                for k in ("success", "spl", "loss", "entropy", "reward_per_step"):
+                    if k in metrics:
+                        writer.add_scalar(k, float(metrics[k]), env_steps)
             if env_steps - last_ckpt >= self.ckpt_every_steps:
                 ckpts.save(env_steps, {"params": params})
                 last_ckpt = env_steps
         ckpts.save(env_steps, {"params": params})
+        if writer:
+            writer.close()
         out = {k: float(v) for k, v in metrics.items()}
         out["env_steps"] = env_steps
         self._last_params = params
@@ -240,11 +260,16 @@ class NavRLExperiment(Experiment):
                 ppo=PPOConfig(lr=self.lr, epochs=self.ppo_epochs)),
                 encode_fn=encode)
             params, opt_state = learner.init(key)
+            ckpts = StepCheckpointer(os.path.join(output_dir, self.name), prefix="exp")
+            env_steps = 0
             if ckpt:
                 params = restore_pytree(ckpt, params)
-            ckpts = StepCheckpointer(os.path.join(output_dir, self.name), prefix="exp")
+            else:
+                latest, state = ckpts.restore_latest({"params": params})
+                if latest is not None:
+                    params, env_steps = state["params"], latest
             steps_per_iter = self.rollout_len * venv.n
-            env_steps, last_ckpt = 0, 0
+            last_ckpt = env_steps
             metrics = {}
             while env_steps < self.total_env_steps:
                 params, opt_state, metrics = learner.train_iteration(params, opt_state)

@@ -102,3 +102,20 @@ def test_hostgrid_backend_experiment_trains(tmp_path):
     assert np.isfinite(out["loss"])
     import glob
     assert glob.glob(str(tmp_path / "hostgrid_smoke" / "exp__steps_*"))
+
+
+def test_experiment_resume_from_latest(tmp_path):
+    """Resume-on-restart: a second train() continues from the saved env-step count."""
+    from embodied_clip_tpu.config.rl_experiments import NavRLExperiment
+
+    kw = dict(name="resume_smoke", backend="fake", encoder=None,
+              total_env_steps=256, rollout_len=8, env_batch=8, hidden=16,
+              ckpt_every_steps=128)
+    exp = NavRLExperiment(**kw)
+    out1 = exp.train(output_dir=str(tmp_path))
+    assert out1["env_steps"] >= 256
+    # Second run: already past total_env_steps -> trains 0 new iterations but
+    # restores and re-saves cleanly.
+    exp2 = NavRLExperiment(**kw)
+    out2 = exp2.train(output_dir=str(tmp_path))
+    assert out2["env_steps"] >= 256

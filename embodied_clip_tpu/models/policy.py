@@ -106,6 +106,13 @@ class ActorCritic(nn.Module):
         parts = []
         v = obs["visual"]
         if self.scratch_cnn:
+            # RGBD (habitat ddppo_*_rgbd baselines): concat the depth channel onto the
+            # frames before the trainable CNN.
+            if "depth" in obs:
+                depth = obs["depth"].astype(self.dtype)
+                if v.dtype == jnp.uint8:
+                    v = v.astype(self.dtype) / 255.0
+                v = jnp.concatenate([v.astype(self.dtype), depth], axis=-1)
             parts.append(self.scratch(v))
         elif self.visual_is_map:
             parts.append(self.compressor(v))

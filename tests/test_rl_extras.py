@@ -149,3 +149,19 @@ def test_scratch_cnn_policy_runs():
     g = jax.grad(loss)(params)
     total = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g["scratch"]))
     assert total >= 0.0  # params exist and receive (possibly zero-input) grads
+
+
+def test_rgbd_scratch_policy_runs():
+    policy = ActorCritic(num_actions=4, goal_kind="object_embed",
+                         num_goal_classes=12, hidden=32, scratch_cnn=True)
+    obs = {
+        "visual": jnp.zeros((2, 56, 56, 3), jnp.uint8),
+        "depth": jnp.zeros((2, 56, 56, 1), jnp.float32),
+        "goal": jnp.zeros((2,), jnp.int32),
+        "prev_action": jnp.zeros((2,), jnp.int32),
+    }
+    params = policy.init(jax.random.PRNGKey(0), obs, policy.initial_state(2),
+                         jnp.zeros((2,), bool))["params"]
+    logits, value, _ = policy.apply({"params": params}, obs,
+                                    policy.initial_state(2), jnp.zeros((2,), bool))
+    assert logits.shape == (2, 4)

@@ -101,6 +101,57 @@ def _cmd_train(argv):
     print(json.dumps(result))
 
 
+def _cmd_convert_weights(argv):
+    """torch checkpoint (openai CLIP / torchvision) → native orbax variables."""
+    p = argparse.ArgumentParser(prog="convert-weights")
+    p.add_argument("--torch-checkpoint", required=True)
+    p.add_argument("--encoder", required=True,
+                   help="encoder name, e.g. clip_rn50 / imagenet_rn50 (see encoders.ENCODER_SPECS)")
+    p.add_argument("--output", required=True, help="output checkpoint directory")
+    p.add_argument("--fold-bn", action="store_true", help="also fold frozen BN")
+    args = p.parse_args(argv)
+
+    from embodied_clip_tpu.models.encoders import build_encoder
+    from embodied_clip_tpu.utils.checkpoint import save_pytree
+
+    enc = build_encoder(args.encoder, torch_checkpoint=args.torch_checkpoint)
+    if args.fold_bn:
+        enc = enc.fold_bn()
+    save_pytree(args.output, enc.variables)
+    print(json.dumps({"encoder": args.encoder, "output": args.output,
+                      "folded": args.fold_bn}))
+
+
+def _cmd_probe_sweep(argv):
+    """Run the full probing grid (the readme's EMB_TYPE × PRED_TYPE sweep loops)."""
+    p = argparse.ArgumentParser(prog="probe-sweep")
+    p.add_argument("--data-dir", dest="data_dir", default="data")
+    p.add_argument("--log-dir", dest="log_dir", default="logs/")
+    p.add_argument("--max-epochs", type=int, default=250)
+    p.add_argument("--output", default=None, help="write results JSON here")
+    args = p.parse_args(argv)
+
+    from embodied_clip_tpu.data.probing import ProbeDataModule
+    from embodied_clip_tpu.training.supervised import ProbeTrainConfig, ProbeTrainer
+
+    results = {}
+    for pred in PREDICTION_TYPES:
+        embs = ("imagenet_avgpool", "clip_avgpool") if pred == "object_localization" \
+            else EMBEDDING_TYPES
+        for emb in embs:
+            dm = ProbeDataModule(args.data_dir, emb, pred).setup()
+            tr = ProbeTrainer(ProbeTrainConfig(
+                embedding_type=emb, prediction_type=pred,
+                max_epochs=args.max_epochs, log_dir=args.log_dir))
+            tr.fit(dm)
+            results[f"{pred}/{emb}"] = tr.test(dm)
+    out = json.dumps(results, indent=2)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(out)
+    print(out)
+
+
 def _cmd_list_configs(argv):
     from embodied_clip_tpu.config.experiments import list_experiments
 
@@ -110,7 +161,9 @@ def _cmd_list_configs(argv):
 
 COMMANDS = {
     "probe-train": _cmd_probe_train,
+    "probe-sweep": _cmd_probe_sweep,
     "extract-features": _cmd_extract_features,
+    "convert-weights": _cmd_convert_weights,
     "train": _cmd_train,
     "list-configs": _cmd_list_configs,
 }

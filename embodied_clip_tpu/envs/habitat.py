@@ -13,7 +13,7 @@ instructions; the hermetic stand-in is envs/host_gridworld.py.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import numpy as np
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import multiprocessing as mp
 import time
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 

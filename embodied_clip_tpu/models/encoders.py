@@ -16,15 +16,13 @@ Conv maps are NHWC (TPU-native); loaders convert when reading torch CHW caches.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
 from embodied_clip_tpu.models import convert as convert_mod
 from embodied_clip_tpu.models.clip import CLIPVisual, image_size_of
-from embodied_clip_tpu.models.clip_resnet import CLIP_RESNET_CONFIGS
 from embodied_clip_tpu.models.clip_vit import CLIP_VIT_CONFIGS
 from embodied_clip_tpu.models.resnet import RESNET_CONFIGS, ResNet
 from embodied_clip_tpu.ops.preprocess import make_preprocessor

@@ -24,7 +24,6 @@ from typing import Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from embodied_clip_tpu.constants import MAX_FORWARD_STEPS, TARGET_OBJECTS
 from embodied_clip_tpu.utils.metrics import argmax_accuracy, binary_accuracy, f1_score

@@ -89,7 +89,6 @@ class DDPPOLearner:
         size = b // m
         for i in range(m):
             sl = slice(i * size, (i + 1) * size)
-            take = lambda x: x[:, sl] if x.ndim >= 2 else x
             mb = Rollout(
                 obs=jax.tree.map(lambda x: x[:, sl], rollout.obs),
                 is_start=rollout.is_start[:, sl],

@@ -95,3 +95,31 @@ def test_stage_timer():
     s = t.summary()
     assert s["env_calls"] == 1 and s["update_calls"] == 1
     assert abs(s["env_frac"] + s["update_frac"] - 1.0) < 1e-6
+
+
+def test_tensorboard_event_file_format(tmp_path):
+    """The dependency-free TB writer emits valid TFRecord framing (length + masked
+    crc32c) that a minimal reader can parse back."""
+    import struct
+    from embodied_clip_tpu.utils.tensorboard import SummaryWriter, _masked_crc
+
+    w = SummaryWriter(str(tmp_path))
+    w.add_scalar("train_loss", 0.5, 1)
+    w.add_scalar("val_acc", 0.75, 2)
+    w.close()
+    files = [f for f in os.listdir(tmp_path) if f.startswith("events.out.tfevents")]
+    assert len(files) == 1
+    data = open(os.path.join(tmp_path, files[0]), "rb").read()
+    off, records = 0, []
+    while off < len(data):
+        (length,) = struct.unpack("<Q", data[off:off + 8])
+        (len_crc,) = struct.unpack("<I", data[off + 8:off + 12])
+        assert len_crc == _masked_crc(data[off:off + 8])
+        payload = data[off + 12:off + 12 + length]
+        (pay_crc,) = struct.unpack("<I", data[off + 12 + length:off + 16 + length])
+        assert pay_crc == _masked_crc(payload)
+        records.append(payload)
+        off += 16 + length
+    assert len(records) == 3  # header + 2 scalars
+    assert b"brain.Event:2" in records[0]
+    assert b"train_loss" in records[1] and b"val_acc" in records[2]

@@ -73,3 +73,17 @@ def test_zeroshot_text_goal_table_with_real_towers():
     emb = emb / np.linalg.norm(emb, axis=-1, keepdims=True)
     assert emb.shape == (2, 16)
     np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, atol=1e-5)
+
+
+def test_all_registered_experiments_construct():
+    from embodied_clip_tpu.config.experiments import get_experiment, list_experiments
+
+    names = list_experiments()
+    assert len(names) >= 25  # 11 probes + 14 RL
+    for n in names:
+        exp = get_experiment(n)
+        assert exp.name == n
+    # overrides apply with type coercion
+    exp = get_experiment("objectnav_robothor_rgb_clipresnet50gru_ddppo",
+                         overrides=["total_env_steps=123", "lr=0.001"])
+    assert exp.total_env_steps == 123 and exp.lr == 0.001

@@ -63,6 +63,10 @@ class NavRLExperiment(Experiment):
     # ------------------------------------------------------------------- builders
 
     def _build_fake_env(self):
+        if self.task == "rearrange":
+            from embodied_clip_tpu.envs.rearrange import GridRearrangeEnv
+
+            return GridRearrangeEnv(size=8, max_steps=96)
         from embodied_clip_tpu.envs.gridworld import GridNavEnv
 
         class_set = None
@@ -79,6 +83,8 @@ class NavRLExperiment(Experiment):
             goal_kind, goal_dim = "text_embed", 1024
         elif self.task == "pointnav":
             goal_kind, goal_dim = "pointgoal", 2
+        elif self.task == "rearrange":
+            goal_kind, goal_dim = "none", 1  # goal is implicit in the observation
         else:
             goal_kind, goal_dim = "object_embed", 1024
         return ActorCritic(
@@ -379,8 +385,8 @@ for task in ("objectnav", "pointnav"):
 _reg("ddppo_objectnav_rgb", task="objectnav", encoder=None)    # scratch
 _reg("ddppo_objectnav_rgbd", task="objectnav", encoder=None)   # scratch + depth
 
-# iTHOR Rearrangement 1-phase DAgger.
-_reg("one_phase_rgb_clipresnet50_dagger", task="objectnav", algo="dagger",
+# iTHOR Rearrangement 1-phase DAgger (fake backend: pick→carry→place env).
+_reg("one_phase_rgb_clipresnet50_dagger", task="rearrange", algo="dagger",
      encoder="clip_rn50")
-_reg("one_phase_rgb_resnet50_dagger", task="objectnav", algo="dagger",
+_reg("one_phase_rgb_resnet50_dagger", task="rearrange", algo="dagger",
      encoder="imagenet_rn50")

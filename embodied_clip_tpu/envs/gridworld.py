@@ -74,6 +74,10 @@ class GridNavEnv:
     # (distance, heading) to the target, recomputed every step — the
     # pointgoal-with-gps-compass analogue (reference baselines_habitat.md PointNav).
     task: str = "objectnav"
+    # Emit uint8 RGB frames (render_frames) instead of the feature map — exercises the
+    # frozen-encoder-in-the-rollout path entirely on device.
+    frame_obs: bool = False
+    frame_cell_px: int = 8
 
     @property
     def num_actions(self) -> int:
@@ -139,7 +143,9 @@ class GridNavEnv:
         onehot = jax.nn.one_hot(s.object_cls, self.num_classes)     # (B,K,C)
         cls_map = jnp.einsum("bvwk,bkc->bvwc", match.astype(jnp.float32), onehot)
         visual = jnp.concatenate([cls_map, in_bounds[..., None].astype(jnp.float32)], -1)
-        if self.flat_obs:
+        if self.frame_obs:
+            visual = self._render(visual)
+        elif self.flat_obs:
             visual = visual.reshape(b, -1)
         if self.task == "pointnav":
             # Egocentric polar goal: (distance, heading) in the agent frame.
@@ -153,16 +159,22 @@ class GridNavEnv:
             goal = jnp.take_along_axis(s.object_cls, s.target_idx[:, None], 1)[:, 0]
         return {"visual": visual, "goal": goal}
 
+    def _render(self, visual_map: jnp.ndarray) -> jnp.ndarray:
+        """(B,v,v,C) feature map → uint8 RGB frames."""
+        hue = jnp.linspace(0.1, 1.0, self.num_classes)
+        r = (visual_map[..., : self.num_classes] * hue).sum(-1)
+        g = visual_map[..., -1]  # in-bounds
+        bl = visual_map[..., : self.num_classes].sum(-1)
+        img = jnp.stack([r, 0.3 * g, bl], -1)  # (B,v,v,3) in [0,1]
+        px = self.frame_cell_px
+        img = jnp.repeat(jnp.repeat(img, px, 1), px, 2)
+        return (jnp.clip(img, 0, 1) * 255).astype(jnp.uint8)
+
     def render_frames(self, s: GridNavState, cell_px: int = 8) -> jnp.ndarray:
         """uint8 RGB frames of the egocentric view (for encoder-in-loop pipelines)."""
-        obs = self.observe(s)["visual"]  # (B,v,v,C)
-        hue = jnp.linspace(0.1, 1.0, self.num_classes)
-        r = (obs[..., : self.num_classes] * hue).sum(-1)
-        g = obs[..., -1]  # in-bounds
-        bl = obs[..., : self.num_classes].sum(-1)
-        img = jnp.stack([r, 0.3 * g, bl], -1)  # (B,v,v,3) in [0,1]
-        img = jnp.repeat(jnp.repeat(img, cell_px, 1), cell_px, 2)
-        return (img * 255).astype(jnp.uint8)
+        env = dataclasses.replace(self, frame_obs=False, flat_obs=False,
+                                  frame_cell_px=cell_px)
+        return env._render(env.observe(s)["visual"])
 
     # ---------------------------------------------------------------------- expert
 

@@ -124,3 +124,25 @@ def test_pointnav_fake_env_and_policy():
     for _ in range(50):
         params, opt, act, m = learner.train_iteration(params, opt, act)
     assert float(m["success"]) > 0.4, float(m["success"])
+
+
+def test_frame_obs_encoder_in_rollout():
+    """Frames-mode env + in-graph encode_fn: the frozen-encoder-in-the-rollout path
+    runs fully on device (a tiny stand-in encoder keeps the CPU test fast)."""
+    env = GridNavEnv(size=5, max_steps=16, frame_obs=True, frame_cell_px=4)
+    _, obs = env.reset(jax.random.PRNGKey(0), 2)
+    assert obs["visual"].dtype == jnp.uint8
+    assert obs["visual"].shape == (2, 28, 28, 3)
+
+    def encode(frames_u8):
+        x = frames_u8.astype(jnp.float32) / 255.0
+        return x[:, ::4, ::4, :].reshape(x.shape[0], -1)
+
+    policy = ActorCritic(num_actions=env.num_actions, goal_kind="object_embed",
+                         num_goal_classes=env.num_classes, hidden=32,
+                         visual_is_map=False)
+    learner = DDPPOLearner(env, policy, DDPPOConfig(
+        rollout_len=4, env_batch=2, ppo=PPOConfig(epochs=1)), encode_fn=encode)
+    params, opt, act = learner.init(jax.random.PRNGKey(0))
+    params, opt, act, m = learner.train_iteration(params, opt, act)
+    assert np.isfinite(float(m["loss"]))

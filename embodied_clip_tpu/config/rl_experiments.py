@@ -104,7 +104,7 @@ class NavRLExperiment(Experiment):
         from embodied_clip_tpu.models.encoders import build_encoder
 
         dtype = jnp.bfloat16 if self.encoder_dtype == "bfloat16" else jnp.float32
-        enc = build_encoder(self.encoder, dtype=dtype)
+        enc = build_encoder(self.encoder, dtype=dtype).fold_bn()
         fn = enc.encode_fn()
         variables = enc.variables
         key = "clip_conv" if self.encoder.startswith("clip") else "imagenet_conv"

@@ -139,3 +139,23 @@ def test_frozen_encoder_stop_gradient():
     grads = jax.grad(loss)(variables["params"])
     total = sum(jnp.abs(g).sum() for g in jax.tree.leaves(grads))
     assert float(total) == 0.0
+
+
+def test_torch_checkpoint_file_roundtrip(tmp_path):
+    """A torch .pth state_dict on disk loads through build_encoder(torch_checkpoint=...)
+    and reproduces the torch oracle's features (full RN18, file-based path)."""
+    torch.manual_seed(7)
+    oracle = O.TVResNetTrunk((2, 2, 2, 2), width=64, block="basic").eval()
+    _randomize_bn(oracle)
+    path = str(tmp_path / "rn18.pth")
+    torch.save(oracle.state_dict(), path)
+
+    from embodied_clip_tpu.models.encoders import build_encoder
+
+    enc = build_encoder("imagenet_rn18", torch_checkpoint=path)
+    x = torch.randn(1, 3, 224, 224)
+    with torch.no_grad():
+        ref = oracle(x).permute(0, 2, 3, 1).numpy()
+    got = enc.module.apply(enc.variables, jnp.asarray(x.permute(0, 2, 3, 1).numpy()),
+                           train=False)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-3, rtol=1e-3)

@@ -47,9 +47,13 @@ class DDPPOLearner:
         self.cfg = cfg
         self.encode_fn = encode_fn
         self.mesh = mesh
+        if cfg.ppo.lr_decay_updates > 0:
+            lr = optax.linear_schedule(cfg.ppo.lr, 0.0, cfg.ppo.lr_decay_updates)
+        else:
+            lr = cfg.ppo.lr
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.ppo.max_grad_norm),
-            optax.adam(cfg.ppo.lr),
+            optax.adam(lr),
         )
         self._train_iteration = jax.jit(self._train_iteration_impl, donate_argnums=(0, 1, 2))
 

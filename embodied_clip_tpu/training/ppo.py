@@ -38,6 +38,9 @@ class PPOConfig:
     normalize_advantages: bool = True
     max_grad_norm: float = 0.5
     lr: float = 3e-4
+    # Linear LR decay to 0 over this many optimizer updates (0 = constant LR) — the
+    # standard DD-PPO schedule for multi-hundred-million-step runs.
+    lr_decay_updates: int = 0
 
 
 class Rollout(NamedTuple):

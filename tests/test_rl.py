@@ -146,3 +146,25 @@ def test_frame_obs_encoder_in_rollout():
     params, opt, act = learner.init(jax.random.PRNGKey(0))
     params, opt, act, m = learner.train_iteration(params, opt, act)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_training_determinism_same_seed():
+    """Framework determinism (reference seed_everything contract): identical seeds
+    produce bitwise-identical training trajectories on CPU."""
+    def run():
+        env = GridNavEnv(size=5, max_steps=16, flat_obs=True)
+        policy = ActorCritic(num_actions=env.num_actions, goal_kind="object_embed",
+                             num_goal_classes=env.num_classes, hidden=32,
+                             visual_is_map=False)
+        learner = DDPPOLearner(env, policy, DDPPOConfig(
+            rollout_len=8, env_batch=8,
+            ppo=PPOConfig(lr=1e-3, epochs=1, lr_decay_updates=100)))
+        params, opt, act = learner.init(jax.random.PRNGKey(42))
+        losses = []
+        for _ in range(5):
+            params, opt, act, m = learner.train_iteration(params, opt, act)
+            losses.append(float(m["loss"]))
+        return losses
+
+    a, b = run(), run()
+    np.testing.assert_array_equal(a, b)

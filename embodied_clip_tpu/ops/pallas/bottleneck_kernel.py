@@ -24,7 +24,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["fused_bottleneck", "supports_fused_bottleneck"]
+__all__ = ["fused_bottleneck", "fused_stage1", "supports_fused_bottleneck"]
 
 
 def supports_fused_bottleneck(h: int, w: int, c: int, cm: int,
@@ -104,3 +104,93 @@ def fused_bottleneck(x: jnp.ndarray, w1, b1, w2, b2, w3, b3,
         w2.astype(x.dtype), b2.reshape(1, cm).astype(jnp.float32),
         w3.astype(x.dtype), b3.reshape(1, c).astype(jnp.float32),
     )
+
+
+# --------------------------------------------------------------- fused whole-stage
+
+
+def _bottleneck_body(x2d, pad_ref, w1, b1, w2, b2, w3, b3, h, w, cm, bt, dtype):
+    """One stride-1 bottleneck on a (bt*h*w, C) VMEM tensor; returns pre-residual f32."""
+    f32 = jnp.float32
+    h1 = jnp.dot(x2d, w1, preferred_element_type=f32) + b1
+    h1 = jnp.maximum(h1, 0.0).astype(dtype)
+    pad_ref[...] = jnp.zeros_like(pad_ref)
+    pad_ref[:, 1:h + 1, 1:w + 1, :] = h1.reshape(bt, h, w, cm)
+    acc = jnp.broadcast_to(b2, (bt * h * w, cm)).astype(f32)
+    for ky in range(3):
+        for kx in range(3):
+            sl = pad_ref[:, ky:ky + h, kx:kx + w, :].reshape(bt * h * w, cm)
+            acc = acc + jnp.dot(sl, w2[ky, kx], preferred_element_type=f32)
+    h2 = jnp.maximum(acc, 0.0).astype(dtype)
+    return jnp.dot(h2, w3, preferred_element_type=f32) + b3
+
+
+def _stage1_kernel(x_ref,
+                   w1a, b1a, w2a, b2a, w3a, b3a, wsc, bsc,
+                   w1b, b1b, w2b, b2b, w3b, b3b,
+                   w1c, b1c, w2c, b2c, w3c, b3c,
+                   out_ref, pad_ref, *, h, w, cin, cm, cout, bt):
+    f32 = jnp.float32
+    dt = out_ref.dtype
+    x0 = x_ref[...].reshape(bt * h * w, cin)
+    # block 1: channel expansion, conv shortcut
+    main = _bottleneck_body(x0, pad_ref, w1a[...], b1a[...], w2a[...], b2a[...],
+                            w3a[...], b3a[...], h, w, cm, bt, dt)
+    sc = jnp.dot(x0, wsc[...], preferred_element_type=f32) + bsc[...]
+    x1 = jnp.maximum(main + sc, 0.0).astype(dt)
+    # blocks 2, 3: identity shortcuts
+    m2 = _bottleneck_body(x1, pad_ref, w1b[...], b1b[...], w2b[...], b2b[...],
+                          w3b[...], b3b[...], h, w, cm, bt, dt)
+    x2 = jnp.maximum(m2 + x1.astype(f32), 0.0).astype(dt)
+    m3 = _bottleneck_body(x2, pad_ref, w1c[...], b1c[...], w2c[...], b2c[...],
+                          w3c[...], b3c[...], h, w, cm, bt, dt)
+    out = jnp.maximum(m3 + x2.astype(f32), 0.0)
+    out_ref[...] = out.reshape(bt, h, w, cout).astype(dt)
+
+
+def fused_stage1(x: jnp.ndarray, blocks, shortcut, batch_tile: int = 1,
+                 interpret: bool = False) -> jnp.ndarray:
+    """Whole CLIP-RN50 stage 1 (3 stride-1 bottlenecks, folded BN) as ONE kernel.
+
+    x: (N, H, W, Cin) bf16 (stem output, Cin=64). blocks: list of 3 dicts with keys
+    w1 (C,Cm), b1, w2 (3,3,Cm,Cm), b2, w3 (Cm,Cout), b3 — block 0 maps Cin→Cout with
+    the conv `shortcut` = (ws (Cin,Cout), bs). Stage traffic drops from ~5 HBM tensor
+    passes per block to exactly "read x, write out" for the whole stage.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, h, w, cin = x.shape
+    cm = blocks[0]["w1"].shape[1]
+    cout = blocks[0]["w3"].shape[1]
+    bt = batch_tile
+    dt = x.dtype
+
+    operands, in_specs = [], []
+
+    def add(a, cast=None):
+        a = jnp.asarray(a, cast or dt)
+        operands.append(a)
+        in_specs.append(pl.BlockSpec(a.shape, lambda i, _s=a.shape: (0,) * len(_s),
+                                     memory_space=pltpu.VMEM))
+
+    for bi, blk in enumerate(blocks):
+        add(blk["w1"]); add(blk["b1"].reshape(1, -1), jnp.float32)
+        add(blk["w2"]); add(blk["b2"].reshape(1, -1), jnp.float32)
+        add(blk["w3"]); add(blk["b3"].reshape(1, -1), jnp.float32)
+        if bi == 0:
+            add(shortcut[0]); add(shortcut[1].reshape(1, -1), jnp.float32)
+
+    kernel = functools.partial(_stage1_kernel, h=h, w=w, cin=cin, cm=cm,
+                               cout=cout, bt=bt)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bt,),
+        in_specs=[pl.BlockSpec((bt, h, w, cin), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)] + in_specs,
+        out_specs=pl.BlockSpec((bt, h, w, cout), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, cout), dt),
+        scratch_shapes=[pltpu.VMEM((bt, h + 2, w + 2, cm), dt)],
+        interpret=interpret,
+    )(x, *operands)

@@ -41,3 +41,39 @@ def test_fused_bottleneck_matches_xla():
 def test_vmem_feasibility_helper():
     assert supports_fused_bottleneck(56, 56, 256, 64)
     assert not supports_fused_bottleneck(112, 112, 2048, 512)
+
+
+def test_fused_stage1_matches_xla():
+    rng = np.random.RandomState(1)
+    n, h, w, cin, cm, cout = 2, 8, 8, 16, 8, 32
+
+    def mkblk(c_in):
+        return {"w1": jnp.asarray(rng.randn(c_in, cm).astype(np.float32) * 0.1),
+                "b1": jnp.asarray(rng.randn(cm).astype(np.float32) * 0.1),
+                "w2": jnp.asarray(rng.randn(3, 3, cm, cm).astype(np.float32) * 0.1),
+                "b2": jnp.asarray(rng.randn(cm).astype(np.float32) * 0.1),
+                "w3": jnp.asarray(rng.randn(cm, cout).astype(np.float32) * 0.1),
+                "b3": jnp.asarray(rng.randn(cout).astype(np.float32) * 0.1)}
+
+    blocks = [mkblk(cin), mkblk(cout), mkblk(cout)]
+    sc = (jnp.asarray(rng.randn(cin, cout).astype(np.float32) * 0.1),
+          jnp.asarray(rng.randn(cout).astype(np.float32) * 0.1))
+    x = jnp.asarray(rng.randn(n, h, w, cin).astype(np.float32) * 0.5)
+
+    def pre(x, b):
+        h1 = jax.nn.relu(jnp.einsum("nhwc,cm->nhwm", x, b["w1"]) + b["b1"])
+        h2 = jax.lax.conv_general_dilated(h1, b["w2"], (1, 1), "SAME",
+                                          dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        h2 = jax.nn.relu(h2 + b["b2"])
+        return jnp.einsum("nhwm,mc->nhwc", h2, b["w3"]) + b["b3"]
+
+    x1 = jax.nn.relu(pre(x, blocks[0]) + jnp.einsum("nhwc,co->nhwo", x, sc[0]) + sc[1])
+    x2 = jax.nn.relu(pre(x1, blocks[1]) + x1)
+    ref = jax.nn.relu(pre(x2, blocks[2]) + x2)
+
+    from embodied_clip_tpu.ops.pallas.bottleneck_kernel import fused_stage1
+
+    for bt in (1, 2):
+        got = fused_stage1(x, blocks, sc, batch_tile=bt, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)

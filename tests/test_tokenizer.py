@@ -1,6 +1,8 @@
 """BPE tokenizer behavior (CLIP semantics; synthetic merges — the official merges file
 reproduces OpenAI ids bit-exactly when supplied)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -56,3 +58,15 @@ def test_tokenize_truncation():
         tokenize([long], tok, context_length=8)
     arr = tokenize([long], tok, context_length=8, truncate=True)
     assert arr[0, -1] == tok.eot_token
+
+
+@pytest.mark.skipif("ECT_BPE_PATH" not in os.environ,
+                    reason="set ECT_BPE_PATH to the official bpe_simple_vocab_16e6.txt.gz")
+def test_official_vocab_reproduces_openai_ids():
+    """With the official merges file, token ids match the openai/CLIP tokenizer."""
+    tok = SimpleTokenizer(bpe_path=os.environ["ECT_BPE_PATH"])
+    assert tok.vocab_size == 49408
+    assert tok.sot_token == 49406 and tok.eot_token == 49407
+    ids = tok.encode("a photo of a cat")
+    # openai/CLIP: 'a'=320, 'photo'=1125, 'of'=539, 'cat'=2368
+    assert ids == [320, 1125, 539, 320, 2368], ids

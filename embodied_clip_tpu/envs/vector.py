@@ -102,6 +102,16 @@ class VectorEnv:
     # ------------------------------------------------------------------------ step
 
     def step_async(self, actions: np.ndarray) -> None:
+        # Drain any straggler replies from a previous cutoff FIRST — otherwise a stale
+        # reply would be mistaken for the response to the action sent below.
+        for i in getattr(self, "_straggler_pending", []):
+            _tag, payload = self.remotes[i].recv()
+            obs = payload[0]
+            if self.ring is not None:
+                obs = dict(obs)
+                obs["visual"] = self.ring.read(i)
+            self._last_obs[i] = obs
+        self._straggler_pending = []
         for r, a in zip(self.remotes, actions):
             r.send(("step", int(a)))
 
@@ -147,15 +157,6 @@ class VectorEnv:
                 np.asarray(dones, bool), infos, np.asarray(valid, bool))
 
     def step(self, actions):
-        # Drain any stragglers from a previous cutoff before issuing new commands.
-        for i in getattr(self, "_straggler_pending", []):
-            tag, payload = self.remotes[i].recv()
-            obs = payload[0]
-            if self.ring is not None:
-                obs = dict(obs)
-                obs["visual"] = self.ring.read(i)
-            self._last_obs[i] = obs
-        self._straggler_pending = []
         self.step_async(actions)
         return self.step_wait()
 

@@ -119,3 +119,57 @@ def test_experiment_resume_from_latest(tmp_path):
     exp2 = NavRLExperiment(**kw)
     out2 = exp2.train(output_dir=str(tmp_path))
     assert out2["env_steps"] >= 256
+
+
+class _SlowCounterEnv:
+    """HostEnv stub: worker-identifiable counter; optionally slow."""
+
+    num_actions = 2
+
+    def __init__(self, slow=False):
+        self.slow = slow
+        self.count = 0
+
+    def reset(self):
+        return {"visual": np.full((4, 4, 3), self.count % 256, np.uint8),
+                "count": np.int64(self.count)}
+
+    def step(self, action):
+        import time as _t
+
+        if self.slow:
+            _t.sleep(0.25)
+        self.count += 1
+        obs = {"visual": np.full((4, 4, 3), self.count % 256, np.uint8),
+               "count": np.int64(self.count)}
+        return obs, 0.0, False, {"count": self.count}
+
+    def close(self):
+        pass
+
+
+def test_straggler_cutoff_no_desync():
+    """With cutoff_fraction < 1 and a slow worker, valid replies must stay in lockstep
+    with issued commands (the stale-reply drain in step_async)."""
+    fns = [lambda: _SlowCounterEnv(slow=True)] + [lambda: _SlowCounterEnv() for _ in range(2)]
+    venv = VectorEnv(fns, frame_shape=(4, 4, 3), cutoff_fraction=0.6,
+                     cutoff_timeout_s=0.05)
+    try:
+        venv.reset()
+        seen_counts = []
+        n_steps = 6
+        for s in range(n_steps):
+            venv.step_async(np.zeros(venv.n, np.int64))
+            obs, rew, done, infos, valid = venv.step_wait()
+            # fast workers always valid and exactly in step
+            for w in (1, 2):
+                assert valid[w]
+                assert int(obs["count"][w]) == s + 1
+            if valid[0]:
+                seen_counts.append(int(obs["count"][0]))
+        # slow worker's valid replies are strictly increasing (no stale replay)
+        assert seen_counts == sorted(set(seen_counts)), seen_counts
+        # total commands issued == replies eventually consumed: one final full step
+        venv.step(np.zeros(venv.n, np.int64))
+    finally:
+        venv.close()

@@ -21,7 +21,8 @@ import numpy as np
 
 
 def _drain(out):
-    return np.asarray(out["clip_attnpool"][0, :4])
+    key = "clip_attnpool" if "clip_attnpool" in out else sorted(out)[0]
+    return np.asarray(out[key][0, :4])
 
 
 def main():
@@ -35,8 +36,9 @@ def main():
     n2 = int(os.environ.get("BENCH_N2", "110"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     resize_dtype = os.environ.get("BENCH_RESIZE_DTYPE", "float32")
+    model = os.environ.get("BENCH_MODEL", "clip_rn50")  # any ENCODER_SPECS name
 
-    enc = build_encoder("clip_rn50", dtype=jnp.bfloat16)
+    enc = build_encoder(model, dtype=jnp.bfloat16)
     if os.environ.get("BENCH_FOLD_BN", "1") == "1":
         enc = enc.fold_bn()
     if resize_dtype != "float32":
@@ -62,7 +64,7 @@ def main():
     per_iter = min((run(n2) - run(n1)) / (n2 - n1) for _ in range(reps))
     fps = batch / per_iter
     print(json.dumps({
-        "metric": "clip_rn50_encode_frames_per_sec_per_chip",
+        "metric": f"{model}_encode_frames_per_sec_per_chip",
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / 15000.0, 3),

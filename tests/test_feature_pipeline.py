@@ -63,3 +63,39 @@ def test_feature_store_to_probe_training(tmp_path):
     tr.fit(dm)
     m = tr.test(dm)
     assert np.isfinite(m["loss"])
+
+
+def test_extract_thor_features_from_scene_files(tmp_path):
+    """The extract-features CLI path: reference-format per-scene .npy files
+    (thor_frames.py output schema) → thor_{split}.npz stores (real RN18 encoder)."""
+    rng = np.random.RandomState(0)
+    color_map = {TARGET_OBJECTS[0]: (10, 20, 30)}
+    for split, scenes in [("train", ["FloorPlan1"]), ("val", ["FloorPlan21"])]:
+        d = tmp_path / "scenes" / split
+        d.mkdir(parents=True)
+        for scene in scenes:
+            records = []
+            for _ in range(3):
+                sem = np.zeros((48, 48, 3), np.uint8)
+                sem[:16, :16] = color_map[TARGET_OBJECTS[0]]
+                records.append({
+                    "frame": rng.randint(0, 256, (48, 48, 3), np.uint8),
+                    "semantic_frame": sem,
+                    "object_id_to_color": color_map,
+                    "valid_moves_forward": int(rng.randint(0, 12)),
+                })
+            np.save(str(d / f"{scene}.npy"), records)
+
+    from embodied_clip_tpu.generate_data.extract import extract_thor_features
+
+    out = tmp_path / "out"
+    extract_thor_features(str(tmp_path / "scenes"), str(out),
+                          encoder_names=["imagenet_rn18"], batch_size=4,
+                          splits=("train", "val"))
+    with np.load(str(out / "thor_train.npz")) as z:
+        assert z["imagenet_avgpool"].shape == (3, 512)
+        assert z["imagenet_conv"].shape[0] == 3
+        assert z["object_presence"][:, 0].all()
+        assert z["object_localization"][:, 0, 0].all()
+        assert z["free_space"].shape == (3,)
+        assert list(z["scene"]) == ["FloorPlan1"] * 3

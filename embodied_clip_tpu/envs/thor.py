@@ -93,8 +93,11 @@ class THORObjectNavEnv(HostEnv):
             best = min(best, d)
         return float(best)
 
-    def _obs(self) -> Dict[str, np.ndarray]:
-        frame = np.asarray(self.controller.last_event.frame, dtype=np.uint8)
+    def _obs(self, event=None) -> Dict[str, np.ndarray]:
+        # Metadata queries (_geodesic_to_target) issue controller.step calls that
+        # replace last_event, so the acting step's event must be captured explicitly.
+        event = event if event is not None else self.controller.last_event
+        frame = np.asarray(event.frame, dtype=np.uint8)
         goal = np.int32(self.object_types.index(self._episode["object_type"]))
         return {"visual": frame, "goal": goal}
 
@@ -121,10 +124,11 @@ class THORObjectNavEnv(HostEnv):
                 rotation=dict(x=0, y=self.rng.choice([0, 90, 180, 270]), z=0),
                 horizon=0, standing=True,
             )
+        event = self.controller.last_event
         self._episode["start_geodesic"] = max(self._geodesic_to_target(), 1e-3)
         self._episode["path_len"] = 0.0
         self._episode["last_geodesic"] = self._episode["start_geodesic"]
-        return self._obs()
+        return self._obs(event)
 
     def step(self, action: int) -> Tuple[Dict[str, np.ndarray], float, bool, Dict[str, Any]]:
         name = OBJECTNAV_ACTIONS[action]
@@ -136,10 +140,11 @@ class THORObjectNavEnv(HostEnv):
                 self._visible_target()
                 and self._geodesic_to_target() <= self.success_distance
             )
+            event = self.controller.last_event
         else:
             before = self.controller.last_event.metadata["agent"]["position"]
-            self.controller.step(action=name)
-            after = self.controller.last_event.metadata["agent"]["position"]
+            event = self.controller.step(action=name)
+            after = event.metadata["agent"]["position"]
             self._episode["path_len"] += float(
                 np.hypot(after["x"] - before["x"], after["z"] - before["z"])
             )
@@ -164,7 +169,7 @@ class THORObjectNavEnv(HostEnv):
             }
             obs = self.reset()
             return obs, reward, True, info
-        return self._obs(), reward, False, info
+        return self._obs(event), reward, False, info
 
     def close(self) -> None:
         try:

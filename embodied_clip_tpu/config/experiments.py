@@ -31,7 +31,10 @@ def get_experiment(name: str, overrides: Optional[List[str]] = None) -> "Experim
     exp = _REGISTRY[name]()
     for ov in overrides or []:
         key, _, value = ov.partition("=")
-        cur = getattr(exp, key)
+        cur = getattr(exp, key)  # raises AttributeError on typo'd keys
+        if value.lower() in ("none", "null"):
+            setattr(exp, key, None)
+            continue
         typ = type(cur) if cur is not None else str
         setattr(exp, key, typ(value) if typ is not bool else value.lower() in ("1", "true"))
     return exp

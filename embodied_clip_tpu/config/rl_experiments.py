@@ -59,6 +59,17 @@ class NavRLExperiment(Experiment):
     eval_episodes: int = 200
     seed: int = 1
     log_dir: Optional[str] = None
+    # Data-parallel replica count (the reference's NUM_GPUS knob,
+    # baselines_habitat.md:63-69). >1 builds a ('dp','mp') mesh: env batch /
+    # rollout sharded over dp, params replicated, gradient psum over ICI.
+    dp: int = 1
+
+    def _mesh(self):
+        if self.dp <= 1:
+            return None
+        from embodied_clip_tpu.parallel.mesh import make_mesh
+
+        return make_mesh(dp=self.dp)
 
     # ------------------------------------------------------------------- builders
 
@@ -153,7 +164,8 @@ class NavRLExperiment(Experiment):
         else:
             learner = DDPPOLearner(env, policy, DDPPOConfig(
                 rollout_len=self.rollout_len, env_batch=self.env_batch,
-                ppo=PPOConfig(lr=self.lr, epochs=self.ppo_epochs)))
+                ppo=PPOConfig(lr=self.lr, epochs=self.ppo_epochs)),
+                mesh=self._mesh())
         # goal mapping for the fake env: patch collect-time goal through env wrapper
         if goal_map is not None:
             env = _GoalMappedEnv(env, goal_map)
@@ -264,7 +276,7 @@ class NavRLExperiment(Experiment):
             learner = HostPPOLearner(venv, policy, DDPPOConfig(
                 rollout_len=self.rollout_len, env_batch=venv.n,
                 ppo=PPOConfig(lr=self.lr, epochs=self.ppo_epochs)),
-                encode_fn=encode)
+                encode_fn=encode, mesh=self._mesh())
             params, opt_state = learner.init(key)
             ckpts = StepCheckpointer(os.path.join(output_dir, self.name), prefix="exp")
             env_steps = 0

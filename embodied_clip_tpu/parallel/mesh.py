@@ -17,7 +17,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "batch_spec"]
+__all__ = ["make_mesh", "shard_batch", "replicate", "batch_spec", "shard_time_major"]
 
 
 def make_mesh(dp: Optional[int] = None, mp: int = 1,
@@ -26,6 +26,11 @@ def make_mesh(dp: Optional[int] = None, mp: int = 1,
     devices = list(devices if devices is not None else jax.devices())
     if dp is None:
         dp = len(devices) // mp
+    if dp * mp > len(devices):
+        raise ValueError(
+            f"mesh needs dp*mp={dp * mp} devices but only {len(devices)} are "
+            f"available (jax.devices()); reduce dp/mp or add chips"
+        )
     grid = np.asarray(devices[: dp * mp]).reshape(dp, mp)
     return Mesh(grid, ("dp", "mp"))
 
@@ -49,3 +54,24 @@ def shard_batch(tree, mesh: Mesh, batch: Optional[int] = None):
 
 def replicate(tree, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+
+
+def shard_time_major(tree, mesh: Mesh, batch: int):
+    """Shard time-major (T, B, ...) rollout leaves over dp along the batch axis.
+
+    Leaves whose second dim is the batch get P(None, 'dp'); leaves whose FIRST dim
+    is the batch (e.g. the h0 hidden state or the (B,) bootstrap value) get P('dp');
+    everything else replicates. This is how host-collected rollouts are placed for
+    the DD-PPO update: XLA then emits the gradient psum over ICI on its own.
+    """
+    def spec(x):
+        shape = getattr(x, "shape", ())
+        if len(shape) >= 2 and shape[1] == batch:
+            return P(None, "dp")
+        if len(shape) >= 1 and shape[0] == batch:
+            return P("dp")
+        return P()
+
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, spec(x))), tree
+    )

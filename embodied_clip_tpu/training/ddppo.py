@@ -102,6 +102,7 @@ class DDPPOLearner:
                 rewards=rollout.rewards[:, sl],
                 dones=rollout.dones[:, sl],
                 h0=rollout.h0[sl],
+                valid=None if rollout.valid is None else rollout.valid[:, sl],
             )
             yield mb, advantages[:, sl], returns[:, sl]
 

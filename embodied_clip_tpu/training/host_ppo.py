@@ -27,10 +27,11 @@ __all__ = ["HostPPOLearner"]
 class HostPPOLearner:
     def __init__(self, venv, policy, cfg: DDPPOConfig,
                  encode_fn: Optional[Callable] = None,
-                 goal_map_fn: Optional[Callable] = None):
+                 goal_map_fn: Optional[Callable] = None, mesh=None):
         self.venv = venv
         self.policy = policy
         self.cfg = cfg
+        self.mesh = mesh
         self.collector = HostRolloutCollector(venv, policy, encode_fn, goal_map_fn)
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.ppo.max_grad_norm),
@@ -49,13 +50,19 @@ class HostPPOLearner:
         params = self.policy.init(
             key, obs0, self.policy.initial_state(n), jnp.zeros((n,), bool)
         )["params"]
-        return params, self.tx.init(params)
+        opt_state = self.tx.init(params)
+        if self.mesh is not None:
+            from embodied_clip_tpu.parallel.mesh import replicate
+
+            params = replicate(params, self.mesh)
+            opt_state = replicate(opt_state, self.mesh)
+        return params, opt_state
 
     def _update_impl(self, params, opt_state, rollout: Rollout, last_value):
         cfg = self.cfg.ppo
         advantages, returns = compute_gae(
             rollout.rewards, rollout.values, rollout.dones, last_value,
-            cfg.gamma, cfg.gae_lambda,
+            cfg.gamma, cfg.gae_lambda, valid=rollout.valid,
         )
         metrics = None
         for _ in range(cfg.epochs):
@@ -70,6 +77,11 @@ class HostPPOLearner:
         rollout, last_value, env_metrics = self.collector.collect(
             params, self.cfg.rollout_len
         )
+        if self.mesh is not None:
+            from embodied_clip_tpu.parallel.mesh import shard_time_major
+
+            rollout = shard_time_major(rollout, self.mesh, batch=self.venv.n)
+            last_value = shard_time_major(last_value, self.mesh, batch=self.venv.n)
         params, opt_state, loss_metrics = self._update(
             params, opt_state, rollout, last_value
         )

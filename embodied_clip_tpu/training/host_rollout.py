@@ -9,8 +9,10 @@ assembles the rollout. Yields the same Rollout pytree as the on-device path, so 
 PPO/DAgger learners are agnostic to where rollouts came from.
 
 DD-PPO straggler cutoff lives in VectorEnv (cutoff_fraction); masked (invalid) steps
-are recorded as done=False reward=0 with repeated obs — the PPO unroll treats them as
-ordinary steps, matching DD-PPO's truncate-the-laggard semantics.
+are recorded as done=False reward=0 with repeated obs AND flagged in Rollout.valid —
+GAE passes advantage accumulation through them and the PPO loss masks them to zero
+gradient, matching DD-PPO's truncate-the-laggard semantics (fabricated steps are not
+data).
 """
 
 from __future__ import annotations
@@ -72,7 +74,9 @@ class HostRolloutCollector:
     def collect(self, params, num_steps: int) -> Tuple[Rollout, jnp.ndarray, Dict[str, float]]:
         """Collect (T, B) arrays by alternating device act-steps and env steps."""
         assert self._obs is not None, "call reset() first"
-        obs_seq, starts, actions, logps, values, rewards, dones = ([] for _ in range(7))
+        obs_seq, starts, actions, logps, values, rewards, dones, valids = (
+            [] for _ in range(8)
+        )
         ep_metrics = {"success": [], "spl": [], "episode_len": []}
         h0 = self._h
         for _ in range(num_steps):
@@ -91,6 +95,7 @@ class HostRolloutCollector:
             next_obs, reward, done, infos, valid = self.venv.step_wait()
             rewards.append(jnp.asarray(reward))
             dones.append(jnp.asarray(done))
+            valids.append(jnp.asarray(valid))
             for inf in infos:
                 if "success" in inf:
                     for k in ep_metrics:
@@ -111,6 +116,7 @@ class HostRolloutCollector:
             rewards=jnp.stack(rewards),
             dones=jnp.stack(dones),
             h0=h0,
+            valid=jnp.stack(valids),
         )
         # Bootstrap value for the state after the final step.
         obs_dev = self._policy_obs(self._obs, self._prev_action)

@@ -16,7 +16,7 @@ collection.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, NamedTuple
+from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -54,22 +54,33 @@ class Rollout(NamedTuple):
     rewards: jnp.ndarray      # (T, B)
     dones: jnp.ndarray        # (T, B) bool
     h0: jnp.ndarray           # (B, H) hidden state entering step 0
+    # (T, B) bool, or None. False marks straggler-cutoff steps (the transition was
+    # fabricated: repeated obs, reward 0, done False — envs/vector.py). DD-PPO drops
+    # laggard contributions; these steps are excluded from GAE and the loss.
+    valid: Optional[jnp.ndarray] = None
 
 
-def compute_gae(rewards, values, dones, last_value, gamma: float, lam: float):
-    """GAE(γ,λ) over time-major arrays; returns (advantages, returns)."""
+def compute_gae(rewards, values, dones, last_value, gamma: float, lam: float,
+                valid=None):
+    """GAE(γ,λ) over time-major arrays; returns (advantages, returns).
+
+    valid (T, B) bool or None: False marks straggler-cutoff steps whose transition
+    was fabricated. Those steps contribute no delta — the accumulated advantage
+    passes through them unchanged (DD-PPO's truncate-the-laggard semantics: the
+    fabricated step simply doesn't exist in the laggard's trajectory)."""
     not_done = 1.0 - dones.astype(jnp.float32)
     next_values = jnp.concatenate([values[1:], last_value[None]], axis=0)
+    w = (jnp.ones_like(rewards) if valid is None else valid.astype(jnp.float32))
 
     def back(carry, inp):
-        r, v, nv, nd = inp
+        r, v, nv, nd, wt = inp
         delta = r + gamma * nv * nd - v
-        adv = delta + gamma * lam * nd * carry
+        adv = wt * (delta + gamma * lam * nd * carry) + (1.0 - wt) * carry
         return adv, adv
 
     _, advs = jax.lax.scan(
         back, jnp.zeros_like(last_value),
-        (rewards, values, next_values, not_done),
+        (rewards, values, next_values, not_done, w),
         reverse=True,
     )
     return advs, advs + values
@@ -85,13 +96,25 @@ def ppo_loss(params, apply_fn, rollout: Rollout, advantages, returns, cfg: PPOCo
     logp = jnp.take_along_axis(logp_all, rollout.actions[..., None], axis=-1)[..., 0]
     entropy = -jnp.sum(jnp.exp(logp_all) * logp_all, axis=-1)
 
+    # Straggler-cutoff mask: fabricated steps contribute zero loss (and zero grad).
+    if rollout.valid is not None:
+        w = rollout.valid.astype(jnp.float32)
+        denom = jnp.maximum(w.sum(), 1.0)
+        wmean = lambda x: (x * w).sum() / denom  # noqa: E731
+    else:
+        w = jnp.ones_like(logp)
+        denom = jnp.asarray(logp.size, jnp.float32)
+        wmean = jnp.mean
+
     if cfg.normalize_advantages:
-        advantages = (advantages - advantages.mean()) / (advantages.std() + 1e-5)
+        mean = (advantages * w).sum() / denom
+        var = (((advantages - mean) ** 2) * w).sum() / denom
+        advantages = (advantages - mean) / (jnp.sqrt(var) + 1e-5)
 
     ratio = jnp.exp(logp - rollout.log_probs)
     surr1 = ratio * advantages
     surr2 = jnp.clip(ratio, 1.0 - cfg.clip_eps, 1.0 + cfg.clip_eps) * advantages
-    policy_loss = -jnp.mean(jnp.minimum(surr1, surr2))
+    policy_loss = -wmean(jnp.minimum(surr1, surr2))
 
     if cfg.value_clip > 0:
         v_clipped = rollout.values + jnp.clip(
@@ -100,16 +123,16 @@ def ppo_loss(params, apply_fn, rollout: Rollout, advantages, returns, cfg: PPOCo
         v_loss = jnp.maximum((values - returns) ** 2, (v_clipped - returns) ** 2)
     else:
         v_loss = (values - returns) ** 2
-    value_loss = 0.5 * jnp.mean(v_loss)
+    value_loss = 0.5 * wmean(v_loss)
 
-    entropy_bonus = jnp.mean(entropy)
+    entropy_bonus = wmean(entropy)
     loss = policy_loss + cfg.value_coef * value_loss - cfg.entropy_coef * entropy_bonus
     metrics = {
         "loss": loss,
         "policy_loss": policy_loss,
         "value_loss": value_loss,
         "entropy": entropy_bonus,
-        "approx_kl": jnp.mean(rollout.log_probs - logp),
-        "clip_frac": jnp.mean((jnp.abs(ratio - 1.0) > cfg.clip_eps).astype(jnp.float32)),
+        "approx_kl": wmean(rollout.log_probs - logp),
+        "clip_frac": wmean((jnp.abs(ratio - 1.0) > cfg.clip_eps).astype(jnp.float32)),
     }
     return loss, metrics

@@ -173,18 +173,33 @@ class NavRLExperiment(Experiment):
 
         params, opt_state, act = learner.init(key)
         ckpts = StepCheckpointer(os.path.join(output_dir, self.name), prefix="exp")
+        steps_per_iter = self.rollout_len * self.env_batch
         env_steps, it = 0, 0
         if ckpt:
             from embodied_clip_tpu.utils.checkpoint import restore_pytree
 
             params = restore_pytree(ckpt, params)
         else:
-            # Resume-on-restart from the latest step-stamped checkpoint
-            # (DD-PPO preemption tolerance; SURVEY.md §5 failure recovery).
-            latest, state = ckpts.restore_latest({"params": params})
+            # Resume-on-restart from the latest step-stamped checkpoint (DD-PPO
+            # preemption tolerance; SURVEY.md §5). Full train state — params, opt
+            # state (Adam moments + schedule position) AND the act carry (env state,
+            # obs, hidden, PRNG key for the jittable env) — so a resumed run is
+            # bitwise identical to an uninterrupted one (reference's restorable
+            # …__steps_N.pt contract, baselines_robothor_objectnav.md:58-64).
+            latest, state = ckpts.restore_latest(
+                {"params": params, "opt_state": opt_state, "act": act}
+            )
             if latest is not None:
-                params = state["params"]
+                params, opt_state = state["params"], state["opt_state"]
+                act = state["act"]
                 env_steps = latest
+                it = env_steps // steps_per_iter
+                if (mesh := self._mesh()) is not None:
+                    from embodied_clip_tpu.parallel.mesh import replicate, shard_batch
+
+                    params = replicate(params, mesh)
+                    opt_state = replicate(opt_state, mesh)
+                    act = shard_batch(act, mesh, batch=self.env_batch)
 
         writer = None
         if self.log_dir:
@@ -192,9 +207,12 @@ class NavRLExperiment(Experiment):
 
             writer = SummaryWriter(os.path.join(self.log_dir, self.name))
 
-        steps_per_iter = self.rollout_len * self.env_batch
         last_ckpt = env_steps
         metrics = {}
+
+        def save_state(step):
+            ckpts.save(step, {"params": params, "opt_state": opt_state, "act": act})
+
         while env_steps < self.total_env_steps:
             if self.algo == "dagger":
                 params, opt_state, act, metrics = learner.train_iteration(
@@ -209,9 +227,9 @@ class NavRLExperiment(Experiment):
                     if k in metrics:
                         writer.add_scalar(k, float(metrics[k]), env_steps)
             if env_steps - last_ckpt >= self.ckpt_every_steps:
-                ckpts.save(env_steps, {"params": params})
+                save_state(env_steps)
                 last_ckpt = env_steps
-        ckpts.save(env_steps, {"params": params})
+        save_state(env_steps)
         if writer:
             writer.close()
         out = {k: float(v) for k, v in metrics.items()}
@@ -283,9 +301,20 @@ class NavRLExperiment(Experiment):
             if ckpt:
                 params = restore_pytree(ckpt, params)
             else:
-                latest, state = ckpts.restore_latest({"params": params})
+                # Full train state; external simulator state can't be checkpointed
+                # (lives in worker processes), so envs restart fresh on resume —
+                # same as the reference (torch ckpts hold no simulator state).
+                latest, state = ckpts.restore_latest(
+                    {"params": params, "opt_state": opt_state}
+                )
                 if latest is not None:
-                    params, env_steps = state["params"], latest
+                    params, opt_state = state["params"], state["opt_state"]
+                    env_steps = latest
+                    if (mesh := self._mesh()) is not None:
+                        from embodied_clip_tpu.parallel.mesh import replicate
+
+                        params = replicate(params, mesh)
+                        opt_state = replicate(opt_state, mesh)
             steps_per_iter = self.rollout_len * venv.n
             last_ckpt = env_steps
             metrics = {}
@@ -293,9 +322,10 @@ class NavRLExperiment(Experiment):
                 params, opt_state, metrics = learner.train_iteration(params, opt_state)
                 env_steps += steps_per_iter
                 if env_steps - last_ckpt >= self.ckpt_every_steps:
-                    ckpts.save(env_steps, {"params": params})
+                    ckpts.save(env_steps,
+                               {"params": params, "opt_state": opt_state})
                     last_ckpt = env_steps
-            ckpts.save(env_steps, {"params": params})
+            ckpts.save(env_steps, {"params": params, "opt_state": opt_state})
             self._last_params = params
             self._last_policy = policy
             out = {k: float(v) for k, v in metrics.items()}

@@ -121,6 +121,35 @@ def test_experiment_resume_from_latest(tmp_path):
     assert out2["env_steps"] >= 256
 
 
+def test_resume_bitwise_matches_uninterrupted(tmp_path):
+    """Checkpoints hold the FULL train state — params, optimizer state (Adam
+    moments + step count) and the act carry (env state, obs, hidden, PRNG key) —
+    so a run killed at a checkpoint and resumed is bitwise identical to an
+    uninterrupted one (the reference's restorable …__steps_N.pt contract,
+    baselines_robothor_objectnav.md:58-64)."""
+    import jax
+
+    from embodied_clip_tpu.config.rl_experiments import NavRLExperiment
+
+    kw = dict(name="resume_bitwise", backend="fake", encoder=None,
+              total_env_steps=512, rollout_len=8, env_batch=8, hidden=16,
+              ckpt_every_steps=256)
+    full = NavRLExperiment(**kw)
+    full.train(output_dir=str(tmp_path / "full"))
+    p_full = jax.tree.map(np.asarray, full._last_params)
+
+    # "Kill" at 256 steps (train to the halfway checkpoint and stop) …
+    half = NavRLExperiment(**{**kw, "total_env_steps": 256})
+    half.train(output_dir=str(tmp_path / "split"))
+    # … then resume from the latest checkpoint and finish.
+    resumed = NavRLExperiment(**kw)
+    out = resumed.train(output_dir=str(tmp_path / "split"))
+    assert out["env_steps"] == 512
+    p_res = jax.tree.map(np.asarray, resumed._last_params)
+
+    jax.tree.map(np.testing.assert_array_equal, p_full, p_res)
+
+
 class _SlowCounterEnv:
     """HostEnv stub: worker-identifiable counter; optionally slow."""
 

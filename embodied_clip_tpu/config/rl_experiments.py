@@ -85,7 +85,12 @@ class NavRLExperiment(Experiment):
             from embodied_clip_tpu.zeroshot import seen_unseen_class_ids
 
             class_set = seen_unseen_class_ids()[0]
-        return GridNavEnv(size=8, max_steps=64, class_set=class_set, task=self.task)
+        # With a frozen encoder configured, the fake env emits uint8 RGB frames and
+        # the encoder runs INSIDE the rollout — the reference's
+        # ClipResNetPreprocessor-in-rollout shape (baselines_robothor_objectnav.md:
+        # 48-51), hermetically. Without one, observations are feature maps directly.
+        return GridNavEnv(size=8, max_steps=64, class_set=class_set, task=self.task,
+                          frame_obs=self.encoder is not None)
 
     def _build_policy(self, env):
         from embodied_clip_tpu.models.policy import ActorCritic
@@ -106,9 +111,11 @@ class NavRLExperiment(Experiment):
         )
 
     def _encode_fn(self):
-        """uint8 frames → frozen conv feature map (None for the fake env, whose
-        observations already are feature maps)."""
-        if self.backend == "fake" or self.encoder is None:
+        """uint8 frames → frozen conv feature map; None when training from scratch
+        (or for the rearrange fake env, whose observations are symbolic maps)."""
+        if self.encoder is None:
+            return None
+        if self.backend == "fake" and self.task == "rearrange":
             return None
         import jax.numpy as jnp
 
@@ -157,15 +164,17 @@ class NavRLExperiment(Experiment):
         env = self._build_fake_env()
         policy = self._build_policy(env)
         goal_map = self._goal_map_fn(env)
+        encode = self._encode_fn()
 
         if self.algo == "dagger":
             learner = DAggerLearner(env, policy, DAggerConfig(
-                rollout_len=self.rollout_len, env_batch=self.env_batch, lr=self.lr))
+                rollout_len=self.rollout_len, env_batch=self.env_batch, lr=self.lr),
+                encode_fn=encode)
         else:
             learner = DDPPOLearner(env, policy, DDPPOConfig(
                 rollout_len=self.rollout_len, env_batch=self.env_batch,
                 ppo=PPOConfig(lr=self.lr, epochs=self.ppo_epochs)),
-                mesh=self._mesh())
+                encode_fn=encode, mesh=self._mesh())
         # goal mapping for the fake env: patch collect-time goal through env wrapper
         if goal_map is not None:
             env = _GoalMappedEnv(env, goal_map)
@@ -357,11 +366,16 @@ class NavRLExperiment(Experiment):
             # zeroshot_objectnav.md:22: eval runs with the original 12 object types.
             env = dataclasses.replace(getattr(env, "inner", env), class_set=None)
 
-        names = [str(i) for i in range(getattr(env, "num_classes", 12))]
+        # Real vocabulary in the eval records (the reference's per-object-type
+        # aggregation schema, zeroshot_objectnav.md:34-47, keys on class names).
+        n_classes = getattr(env, "num_classes", 12)
+        names = list(ROBOTHOR_OBJECT_TYPES[:n_classes])
+        names += [f"Class{i}" for i in range(len(names), n_classes)]
         episodes = evaluate_policy(
             env, policy.apply, params, jax.random.PRNGKey(self.seed),
             num_episodes=self.eval_episodes, hidden=policy.hidden,
             class_names=names, goal_map_fn=self._goal_map_fn(env),
+            encode_fn=self._encode_fn(),
         )
         os.makedirs(os.path.join(output_dir, self.name), exist_ok=True)
         path = write_metrics_json(

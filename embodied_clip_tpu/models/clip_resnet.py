@@ -163,4 +163,7 @@ CLIP_RESNET_CONFIGS = {
     # name: (stage_sizes, width, embed_dim=width*32, heads, output_dim, image_size)
     "RN50": dict(stage_sizes=(3, 4, 6, 3), width=64, num_heads=32, output_dim=1024, image_size=224),
     "RN50x16": dict(stage_sizes=(6, 8, 18, 8), width=96, num_heads=48, output_dim=768, image_size=384),
+    # Smoke-scale config: exercises the full ModifiedResNet code path (stem, 4
+    # stages, attnpool) at CPU-test cost. Not a reference model.
+    "RNtiny": dict(stage_sizes=(1, 1, 1, 1), width=8, num_heads=4, output_dim=16, image_size=128),
 }

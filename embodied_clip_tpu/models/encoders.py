@@ -46,6 +46,8 @@ ENCODER_SPECS = {
     "clip_rn50": EncoderSpec("clip", "RN50"),
     "clip_rn50x16": EncoderSpec("clip", "RN50x16"),
     "clip_vit_b32": EncoderSpec("clip", "ViT-B/32"),
+    # Smoke-scale CLIP resnet (full code path, CPU-test cost; not a paper model).
+    "clip_rn_tiny": EncoderSpec("clip", "RNtiny"),
 }
 
 

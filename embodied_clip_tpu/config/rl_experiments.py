@@ -47,6 +47,8 @@ class NavRLExperiment(Experiment):
     algo: str = "ddppo"                      # ddppo | dagger
     encoder: Optional[str] = "clip_rn50"     # None = scratch CNN trained end-to-end
     zeroshot: bool = False                   # CLIP text-embedding goals
+    rgbd: bool = False                       # add a depth channel (habitat rgbd)
+    dagger_aggregate: int = 8                # DAgger aggregate buffer, in rollouts
     backend: str = "fake"
     total_env_steps: int = 1_000_000
     rollout_len: int = 64
@@ -89,8 +91,11 @@ class NavRLExperiment(Experiment):
         # the encoder runs INSIDE the rollout — the reference's
         # ClipResNetPreprocessor-in-rollout shape (baselines_robothor_objectnav.md:
         # 48-51), hermetically. Without one, observations are feature maps directly.
+        # rgbd (scratch + depth, baselines_habitat.md:75): uint8 frames + a depth
+        # channel, consumed by the trainable ScratchCNN frontend.
         return GridNavEnv(size=8, max_steps=64, class_set=class_set, task=self.task,
-                          frame_obs=self.encoder is not None)
+                          frame_obs=self.encoder is not None or self.rgbd,
+                          depth_obs=self.rgbd)
 
     def _build_policy(self, env):
         from embodied_clip_tpu.models.policy import ActorCritic
@@ -108,6 +113,7 @@ class NavRLExperiment(Experiment):
             num_goal_classes=getattr(env, "num_classes", len(ROBOTHOR_OBJECT_TYPES)),
             goal_input_dim=goal_dim, hidden=self.hidden,
             visual_is_map=not getattr(env, "flat_obs", False),
+            scratch_cnn=self.encoder is None and getattr(env, "frame_obs", False),
         )
 
     def _encode_fn(self):
@@ -141,7 +147,11 @@ class NavRLExperiment(Experiment):
         from embodied_clip_tpu.models.tokenizer import SimpleTokenizer
         from embodied_clip_tpu.zeroshot import goal_map_fn, text_goal_table
 
-        names = [f"object {i}" for i in range(getattr(env, "num_classes", 12))]
+        # Real RoboTHOR class names (zeroshot_objectnav.md:31-32 vocabulary) so the
+        # frozen text-goal embeddings are meaningful once real CLIP weights load.
+        n = getattr(env, "num_classes", 12)
+        names = list(ROBOTHOR_OBJECT_TYPES[:n])
+        names += [f"object {i}" for i in range(len(names), n)]
         clip_built = build_clip("RN50")
         table = text_goal_table(clip_built, SimpleTokenizer(), names)
         return goal_map_fn(table)
@@ -168,7 +178,8 @@ class NavRLExperiment(Experiment):
 
         if self.algo == "dagger":
             learner = DAggerLearner(env, policy, DAggerConfig(
-                rollout_len=self.rollout_len, env_batch=self.env_batch, lr=self.lr),
+                rollout_len=self.rollout_len, env_batch=self.env_batch, lr=self.lr,
+                aggregate_size=self.dagger_aggregate),
                 encode_fn=encode)
         else:
             learner = DDPPOLearner(env, policy, DDPPOConfig(
@@ -268,7 +279,8 @@ class NavRLExperiment(Experiment):
             from embodied_clip_tpu.envs.habitat import HabitatNavEnv
 
             cfg = os.environ.get("ECT_HABITAT_CONFIG", f"configs/tasks/{self.task}.yaml")
-            return [lambda s=seed: HabitatNavEnv(cfg, task=self.task, seed=s)
+            return [lambda s=seed: HabitatNavEnv(cfg, task=self.task, seed=s,
+                                                 rgb_only=not self.rgbd)
                     for seed in range(self.num_workers)], (480, 640, 3)
         raise ValueError(f"unknown backend {self.backend!r}")
 
@@ -439,7 +451,7 @@ for task in ("objectnav", "pointnav"):
         _reg(f"ddppo_{task}_rgb_{enc_tag}",
              task=task, encoder=_ENCODER_BY_NAME[enc_tag])
 _reg("ddppo_objectnav_rgb", task="objectnav", encoder=None)    # scratch
-_reg("ddppo_objectnav_rgbd", task="objectnav", encoder=None)   # scratch + depth
+_reg("ddppo_objectnav_rgbd", task="objectnav", encoder=None, rgbd=True)  # scratch + depth
 
 # iTHOR Rearrangement 1-phase DAgger (fake backend: pick→carry→place env).
 _reg("one_phase_rgb_clipresnet50_dagger", task="rearrange", algo="dagger",

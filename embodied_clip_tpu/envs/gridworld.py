@@ -78,6 +78,12 @@ class GridNavEnv:
     # frozen-encoder-in-the-rollout path entirely on device.
     frame_obs: bool = False
     frame_cell_px: int = 8
+    # Also emit a normalized egocentric depth map under obs['depth'] — the RGBD
+    # observation shape of the habitat ddppo_*_rgbd baselines
+    # (baselines_habitat.md:63-75). Depth = per-cell distance from the agent in the
+    # egocentric view, 1.0 (far) outside scene bounds, matching habitat's
+    # [0,1]-normalized depth sensor semantics.
+    depth_obs: bool = False
 
     @property
     def num_actions(self) -> int:
@@ -143,8 +149,17 @@ class GridNavEnv:
         onehot = jax.nn.one_hot(s.object_cls, self.num_classes)     # (B,K,C)
         cls_map = jnp.einsum("bvwk,bkc->bvwc", match.astype(jnp.float32), onehot)
         visual = jnp.concatenate([cls_map, in_bounds[..., None].astype(jnp.float32)], -1)
+        depth = None
+        if self.depth_obs:
+            ego_f = ego.astype(jnp.float32)                       # (v,v,2)
+            cell_d = jnp.linalg.norm(ego_f, axis=-1) / (r * jnp.sqrt(2.0) + 1e-6)
+            depth = jnp.where(in_bounds, cell_d[None], 1.0)       # (B,v,v)
+            depth = depth[..., None].astype(jnp.float32)
         if self.frame_obs:
             visual = self._render(visual)
+            if depth is not None:
+                px = self.frame_cell_px
+                depth = jnp.repeat(jnp.repeat(depth, px, 1), px, 2)
         elif self.flat_obs:
             visual = visual.reshape(b, -1)
         if self.task == "pointnav":
@@ -157,7 +172,10 @@ class GridNavEnv:
             goal = jnp.stack([dist / self.size, heading], -1)
         else:
             goal = jnp.take_along_axis(s.object_cls, s.target_idx[:, None], 1)[:, 0]
-        return {"visual": visual, "goal": goal}
+        out = {"visual": visual, "goal": goal}
+        if depth is not None:
+            out["depth"] = depth
+        return out
 
     def _render(self, visual_map: jnp.ndarray) -> jnp.ndarray:
         """(B,v,v,C) feature map → uint8 RGB frames."""

@@ -23,6 +23,19 @@ __all__ = ["HabitatNavEnv"]
 
 
 class HabitatNavEnv(HostEnv):
+    # habitat-baselines NavRLEnv reward constants (the fork's RL.SLACK_REWARD /
+    # RL.SUCCESS_REWARD defaults the reference's DD-PPO baselines train with).
+    SLACK_REWARD = -0.01
+    SUCCESS_REWARD = 2.5
+
+    @staticmethod
+    def nav_reward(prev_distance: float, distance: float, success: float) -> float:
+        """habitat-baselines NavRLEnv.get_reward: slack + geodesic
+        distance-to-goal delta + success bonus."""
+        return (HabitatNavEnv.SLACK_REWARD
+                + (prev_distance - distance)
+                + HabitatNavEnv.SUCCESS_REWARD * success)
+
     def __init__(self, config_path: str, task: str = "objectnav",
                  rgb_only: bool = True, max_steps: int = 500, seed: int = 0):
         try:
@@ -66,6 +79,7 @@ class HabitatNavEnv(HostEnv):
         self._t = 0
         m = self.env.get_metrics()
         self._start_geodesic = max(float(m.get("distance_to_goal", 1.0)), 1e-3)
+        self._prev_distance = float(m.get("distance_to_goal", 0.0))
         return self._obs(obs)
 
     def step(self, action: int) -> Tuple[Dict[str, np.ndarray], float, bool, Dict[str, Any]]:
@@ -74,8 +88,11 @@ class HabitatNavEnv(HostEnv):
         m = self.env.get_metrics()
         done = self.env.episode_over or self._t >= self.max_steps
         success = float(m.get("success", 0.0))
-        # habitat's slack + success reward shape
-        reward = -0.01 + 10.0 * success
+        # The reward the reference's habitat DD-PPO baselines train with
+        # (baselines_habitat.md:63-75).
+        distance = float(m.get("distance_to_goal", self._prev_distance))
+        reward = self.nav_reward(self._prev_distance, distance, success)
+        self._prev_distance = distance
         info: Dict[str, Any] = {}
         if done:
             info = {

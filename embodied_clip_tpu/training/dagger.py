@@ -18,6 +18,7 @@ from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from embodied_clip_tpu.models.policy import ActorCritic, unroll_policy
@@ -34,6 +35,12 @@ class DAggerConfig:
     lr: float = 3e-4
     max_grad_norm: float = 0.5
     beta_decay_iters: int = 100   # β: 1 → 0 linearly over this many iterations
+    # Dataset aggregation — the "D" in DAgger: keep up to this many past rollouts
+    # (host memory, expert-labeled) and take each epoch's gradient step on a rollout
+    # sampled uniformly from the aggregate, so training covers the state
+    # distributions of ALL past policies, not just the freshest. 0 = off
+    # (pure on-policy expert distillation).
+    aggregate_size: int = 0
 
 
 class DAggerLearner:
@@ -48,6 +55,12 @@ class DAggerLearner:
             optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
         )
         self._iteration = jax.jit(self._iteration_impl, donate_argnums=(0, 1, 2))
+        # Aggregation path: separately-jitted collect + supervised step so replayed
+        # rollouts (host-stored numpy) reuse one compiled update.
+        self._buffer: list = []
+        self._buf_rng = np.random.RandomState(0)
+        self._collect_jit = jax.jit(self._collect)
+        self._sup_step = jax.jit(self._sup_step_impl, donate_argnums=(0, 1))
 
     def init(self, key) -> Tuple[dict, optax.OptState, ActState]:
         k_param, k_act = jax.random.split(key)
@@ -128,7 +141,51 @@ class DAggerLearner:
         }
         return params, opt_state, act, metrics
 
+    def _sup_step_impl(self, params, opt_state, obs_seq, h0, starts, expert_seq):
+        """One supervised (cross-entropy vs expert) update on a stored rollout."""
+
+        def loss_fn(p):
+            logits, _, _ = unroll_policy(self.policy.apply, p, obs_seq, h0, starts)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            ce = -jnp.take_along_axis(logp, expert_seq[..., None], axis=-1)[..., 0]
+            acc = (jnp.argmax(logits, -1) == expert_seq).astype(jnp.float32)
+            return ce.mean(), acc.mean()
+
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, acc
+
     def train_iteration(self, params, opt_state, act: ActState, iteration: int):
-        """One DAgger iteration; β anneals linearly with `iteration`."""
+        """One DAgger iteration; β anneals linearly with `iteration`.
+
+        With aggregate_size > 0, the fresh expert-labeled rollout joins a host-side
+        aggregate buffer and every epoch's update trains on a rollout sampled
+        uniformly from it (the DAgger dataset-aggregation recipe the reference's
+        1-phase Rearrangement suite uses, baselines_ithor_rearrangement.md:7-12)."""
         beta = jnp.clip(1.0 - iteration / self.cfg.beta_decay_iters, 0.0, 1.0)
-        return self._iteration(params, opt_state, act, beta)
+        if self.cfg.aggregate_size <= 0:
+            return self._iteration(params, opt_state, act, beta)
+
+        h0 = act.h
+        act, obs_seq, starts, expert_seq, infos = self._collect_jit(params, act, beta)
+        self._buffer.append(jax.device_get((obs_seq, h0, starts, expert_seq)))
+        if len(self._buffer) > self.cfg.aggregate_size:
+            self._buffer.pop(0)
+
+        loss = acc = jnp.float32(0)
+        for _ in range(self.cfg.epochs):
+            sample = self._buffer[self._buf_rng.randint(len(self._buffer))]
+            params, opt_state, loss, acc = self._sup_step(params, opt_state, *sample)
+
+        n_done = jnp.maximum(infos["done"].sum(), 1.0)
+        metrics = {
+            "loss": loss,
+            "expert_match": acc,
+            "success": (infos["success"] * infos["done"]).sum() / n_done,
+            "spl": (infos["spl"] * infos["done"]).sum() / n_done,
+            "episodes": infos["done"].sum(),
+            "beta": beta,
+            "aggregate_rollouts": jnp.float32(len(self._buffer)),
+        }
+        return params, opt_state, act, metrics

@@ -152,6 +152,34 @@ def _cmd_probe_sweep(argv):
     print(out)
 
 
+def _cmd_verify_parity(argv):
+    """North-star fidelity check vs reference activations (BASELINE.json: ≤1e-3
+    cosine). Capture the reference side with tools/capture_reference_activations.py,
+    then run this with the real weights; exits nonzero on failure."""
+    p = argparse.ArgumentParser(prog="verify-parity")
+    p.add_argument("--encoder", required=True)
+    p.add_argument("--activations", required=True,
+                   help=".npz from tools/capture_reference_activations.py")
+    p.add_argument("--torch-checkpoint", default=None,
+                   help="reference weights to convert (state_dict / jit archive)")
+    p.add_argument("--variables", default=None,
+                   help="already-converted orbax checkpoint dir (convert-weights)")
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--threshold", type=float, default=1e-3)
+    args = p.parse_args(argv)
+
+    from embodied_clip_tpu.parity import verify_encoder_parity
+
+    result = verify_encoder_parity(
+        args.encoder, args.activations,
+        torch_checkpoint=args.torch_checkpoint, variables_dir=args.variables,
+        dtype=args.dtype, threshold=args.threshold,
+    )
+    print(json.dumps(result, indent=2))
+    if not result["pass"]:
+        sys.exit(1)
+
+
 def _cmd_list_configs(argv):
     from embodied_clip_tpu.config.experiments import list_experiments
 
@@ -164,6 +192,7 @@ COMMANDS = {
     "probe-sweep": _cmd_probe_sweep,
     "extract-features": _cmd_extract_features,
     "convert-weights": _cmd_convert_weights,
+    "verify-parity": _cmd_verify_parity,
     "train": _cmd_train,
     "list-configs": _cmd_list_configs,
 }

@@ -270,6 +270,12 @@ class NavRLExperiment(Experiment):
 
             return [lambda i=i: HostGridNav(size=6, seed=i) for i in range(self.num_workers)], (56, 56, 3)
         if self.backend == "thor":
+            if self.task == "rearrange":
+                from embodied_clip_tpu.envs.thor_rearrange import THORRearrangeEnv
+
+                scenes = [f"FloorPlan{i}" for i in range(1, 21)]
+                return [lambda s=seed: THORRearrangeEnv(scenes, seed=s)
+                        for seed in range(self.num_workers)], (300, 300, 3)
             from embodied_clip_tpu.envs.thor import THORObjectNavEnv
 
             scenes = [f"FloorPlan_Train{i}_{j}" for i in range(1, 13) for j in range(1, 6)]
@@ -298,24 +304,40 @@ class NavRLExperiment(Experiment):
 
         key = seed_everything(self.seed)
         env_fns, frame_shape = self._host_env_fns()
-        venv = VectorEnv(env_fns, frame_shape=frame_shape,
-                         cutoff_fraction=self.straggler_cutoff)
+        # DAgger has no straggler-cutoff semantics (expert queries are synchronous).
+        cutoff = 1.0 if self.algo == "dagger" else self.straggler_cutoff
+        venv = VectorEnv(env_fns, frame_shape=frame_shape, cutoff_fraction=cutoff)
         try:
             from embodied_clip_tpu.models.policy import ActorCritic
 
             encode = self._encode_fn()
-            num_actions = {"hostgrid": 4, "thor": 6, "habitat": 6}[self.backend]
+            if self.task == "rearrange":
+                from embodied_clip_tpu.envs.thor_rearrange import REARRANGE_ACTIONS
+
+                num_actions, goal_kind = len(REARRANGE_ACTIONS), "none"
+            else:
+                num_actions = {"hostgrid": 4, "thor": 6, "habitat": 6}[self.backend]
+                goal_kind = "pointgoal" if self.task == "pointnav" else "object_embed"
             policy = ActorCritic(
-                num_actions=num_actions,
-                goal_kind="pointgoal" if self.task == "pointnav" else "object_embed",
+                num_actions=num_actions, goal_kind=goal_kind,
                 num_goal_classes=12, hidden=self.hidden,
                 visual_is_map=encode is not None,
                 scratch_cnn=encode is None,
             )
-            learner = HostPPOLearner(venv, policy, DDPPOConfig(
-                rollout_len=self.rollout_len, env_batch=venv.n,
-                ppo=PPOConfig(lr=self.lr, epochs=self.ppo_epochs)),
-                encode_fn=encode, mesh=self._mesh())
+            if self.algo == "dagger":
+                from embodied_clip_tpu.training.dagger import (
+                    DAggerConfig, HostDAggerLearner,
+                )
+
+                learner = HostDAggerLearner(venv, policy, DAggerConfig(
+                    rollout_len=self.rollout_len, env_batch=venv.n, lr=self.lr,
+                    epochs=self.ppo_epochs, aggregate_size=self.dagger_aggregate),
+                    encode_fn=encode, mesh=self._mesh())
+            else:
+                learner = HostPPOLearner(venv, policy, DDPPOConfig(
+                    rollout_len=self.rollout_len, env_batch=venv.n,
+                    ppo=PPOConfig(lr=self.lr, epochs=self.ppo_epochs)),
+                    encode_fn=encode, mesh=self._mesh())
             params, opt_state = learner.init(key)
             ckpts = StepCheckpointer(os.path.join(output_dir, self.name), prefix="exp")
             env_steps = 0
@@ -340,7 +362,12 @@ class NavRLExperiment(Experiment):
             last_ckpt = env_steps
             metrics = {}
             while env_steps < self.total_env_steps:
-                params, opt_state, metrics = learner.train_iteration(params, opt_state)
+                if self.algo == "dagger":
+                    params, opt_state, metrics = learner.train_iteration(
+                        params, opt_state, env_steps // steps_per_iter)
+                else:
+                    params, opt_state, metrics = learner.train_iteration(
+                        params, opt_state)
                 env_steps += steps_per_iter
                 if env_steps - last_ckpt >= self.ckpt_every_steps:
                     ckpts.save(env_steps,

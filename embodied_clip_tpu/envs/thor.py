@@ -33,18 +33,24 @@ class THORObjectNavEnv(HostEnv):
                  width: int = 300, height: int = 300, fov: float = 90.0,
                  grid_size: float = 0.25, rotate_degrees: float = 30.0,
                  max_steps: int = 500, visibility_distance: float = 1.0,
-                 success_distance: float = 1.0, shaping: float = 0.0,
-                 seed: int = 0, controller_kwargs: Optional[Dict] = None):
-        try:
-            from ai2thor.controller import Controller
-        except ImportError as e:
-            raise ImportError(
-                "ai2thor is required for THORObjectNavEnv (pip install ai2thor; "
-                "headless hosts need an X display or a headless THOR build). "
-                "For hermetic runs use envs.host_gridworld.HostGridNav."
-            ) from e
+                 shaping: float = 0.0,
+                 seed: int = 0, controller_kwargs: Optional[Dict] = None,
+                 controller_factory=None):
+        # controller_factory: inject a Controller-compatible object (tests use a
+        # scripted fake controller, tests/fake_thor.py, to pin the adapter's call
+        # signatures and metrics without the Unity binary).
+        if controller_factory is None:
+            try:
+                from ai2thor.controller import Controller
+            except ImportError as e:
+                raise ImportError(
+                    "ai2thor is required for THORObjectNavEnv (pip install ai2thor; "
+                    "headless hosts need an X display or a headless THOR build). "
+                    "For hermetic runs use envs.host_gridworld.HostGridNav."
+                ) from e
+            controller_factory = Controller
 
-        self.controller = Controller(
+        self.controller = controller_factory(
             gridSize=grid_size, rotateStepDegrees=rotate_degrees,
             width=width, height=height, fieldOfView=fov,
             visibilityDistance=visibility_distance,
@@ -53,7 +59,6 @@ class THORObjectNavEnv(HostEnv):
         self.scenes = list(scenes)
         self.object_types = list(object_types)
         self.max_steps = max_steps
-        self.success_distance = success_distance
         self.shaping = shaping
         self.rng = random.Random(seed)
         self._episode: Dict[str, Any] = {}
@@ -136,10 +141,11 @@ class THORObjectNavEnv(HostEnv):
         done, success = False, False
         if name == "End":
             done = True
-            success = (
-                self._visible_target()
-                and self._geodesic_to_target() <= self.success_distance
-            )
+            # RoboTHOR ObjectNav success (allenact ObjectNavTask): agent issues End
+            # while a target instance is VISIBLE — THOR's visibility already bounds
+            # the distance via the controller's visibilityDistance (1.0m), so no
+            # extra geodesic round-trip is needed on the success path.
+            success = self._visible_target()
             event = self.controller.last_event
         else:
             before = self.controller.last_event.metadata["agent"]["position"]

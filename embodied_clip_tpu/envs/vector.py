@@ -47,6 +47,10 @@ def _worker(remote, env_fn, ring_info, slot):
                     ring.write(slot, obs["visual"])
                     obs = {k: v for k, v in obs.items() if k != "visual"}
                 remote.send(("trans", (obs, reward, done, info)))
+            elif cmd == "expert":
+                # DAgger labeling: the env's per-instance expert (envs must expose
+                # expert_action() for imitation backends, e.g. THORRearrangeEnv).
+                remote.send(("expert", int(env.expert_action())))
             elif cmd == "close":
                 env.close()
                 remote.send(("closed", None))
@@ -159,6 +163,12 @@ class VectorEnv:
     def step(self, actions):
         self.step_async(actions)
         return self.step_wait()
+
+    def expert_actions(self) -> np.ndarray:
+        """Query every worker's expert action for its CURRENT state (DAgger)."""
+        for r in self.remotes:
+            r.send(("expert", None))
+        return np.asarray([r.recv()[1] for r in self.remotes], np.int32)
 
     @staticmethod
     def _stack(obs_list: List[Dict]) -> Dict[str, np.ndarray]:

@@ -24,7 +24,7 @@ import optax
 from embodied_clip_tpu.models.policy import ActorCritic, unroll_policy
 from embodied_clip_tpu.training.rollout import ActState, init_act_state
 
-__all__ = ["DAggerConfig", "DAggerLearner"]
+__all__ = ["DAggerConfig", "DAggerLearner", "HostDAggerLearner"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -189,3 +189,84 @@ class DAggerLearner:
             "aggregate_rollouts": jnp.float32(len(self._buffer)),
         }
         return params, opt_state, act, metrics
+
+
+class HostDAggerLearner:
+    """DAgger over a VectorEnv worker pool (the reference's deployment shape for
+    1-phase Rearrangement: 40 simulator processes feeding an accelerator learner,
+    baselines_ithor_rearrangement.md:9). Expert labels come from each worker's
+    env.expert_action(); the supervised update is jitted on device and the (T, B)
+    batch shards over the mesh 'dp' axis when one is given."""
+
+    def __init__(self, venv, policy: ActorCritic, cfg: DAggerConfig,
+                 encode_fn: Optional[Callable] = None,
+                 goal_map_fn: Optional[Callable] = None, mesh=None):
+        import numpy as _np
+
+        from embodied_clip_tpu.training.host_rollout import HostRolloutCollector
+
+        self.venv = venv
+        self.policy = policy
+        self.cfg = cfg
+        self.mesh = mesh
+        self.collector = HostRolloutCollector(venv, policy, encode_fn, goal_map_fn)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
+        )
+        self._rng = _np.random.RandomState(0)
+        self._buffer: list = []
+        self._sup_step = jax.jit(self._sup_step_impl, donate_argnums=(0, 1))
+
+    _sup_step_impl = DAggerLearner._sup_step_impl
+
+    def init(self, key):
+        self.collector.reset(key)
+        obs0 = self.collector._policy_obs(
+            self.collector._obs, self.collector._prev_action
+        )
+        n = self.venv.n
+        params = self.policy.init(
+            key, obs0, self.policy.initial_state(n), jnp.zeros((n,), bool)
+        )["params"]
+        opt_state = self.tx.init(params)
+        if self.mesh is not None:
+            from embodied_clip_tpu.parallel.mesh import replicate
+
+            params = replicate(params, self.mesh)
+            opt_state = replicate(opt_state, self.mesh)
+        return params, opt_state
+
+    def _shard(self, sample):
+        if self.mesh is None:
+            return sample
+        from embodied_clip_tpu.parallel.mesh import shard_batch, shard_time_major
+
+        obs_seq, h0, starts, expert_seq = sample
+        n = self.venv.n
+        return (shard_time_major(obs_seq, self.mesh, batch=n),
+                shard_batch(h0, self.mesh, batch=n),
+                shard_time_major(starts, self.mesh, batch=n),
+                shard_time_major(expert_seq, self.mesh, batch=n))
+
+    def train_iteration(self, params, opt_state, iteration: int):
+        beta = float(np.clip(1.0 - iteration / self.cfg.beta_decay_iters, 0.0, 1.0))
+        obs_seq, h0, starts, expert_seq, env_metrics = self.collector.collect_dagger(
+            params, self.cfg.rollout_len, beta, self._rng
+        )
+        fresh = (obs_seq, h0, starts, expert_seq)
+        if self.cfg.aggregate_size > 0:
+            self._buffer.append(jax.device_get(fresh))
+            if len(self._buffer) > self.cfg.aggregate_size:
+                self._buffer.pop(0)
+
+        loss = acc = jnp.float32(0)
+        for _ in range(max(self.cfg.epochs, 1)):
+            sample = fresh if not self._buffer else \
+                self._buffer[self._rng.randint(len(self._buffer))]
+            params, opt_state, loss, acc = self._sup_step(
+                params, opt_state, *self._shard(sample)
+            )
+        metrics = dict(env_metrics)
+        metrics.update(loss=float(loss), expert_match=float(acc), beta=beta,
+                       env_steps=float(self.cfg.rollout_len * self.venv.n))
+        return params, opt_state, metrics

@@ -45,6 +45,13 @@ class HostRolloutCollector:
         o = {k: jnp.asarray(v) for k, v in obs_np.items()}
         if self.encode_fn is not None:
             o["visual"] = self.encode_fn(o["visual"])
+        # 1-phase rearrangement: current + goal views, channel-concatenated after
+        # the (shared) frozen encoder — the upstream two-THOR-instance observation.
+        if "goal_visual" in o:
+            gv = o.pop("goal_visual")
+            if self.encode_fn is not None:
+                gv = self.encode_fn(gv)
+            o["visual"] = jnp.concatenate([o["visual"], gv], axis=-1)
         if self.goal_map_fn is not None:
             o["goal"] = self.goal_map_fn(o["goal"])
         o["prev_action"] = prev_action
@@ -128,3 +135,46 @@ class HostRolloutCollector:
         }
         metrics["episodes"] = float(len(ep_metrics["success"]))
         return rollout, last_value, metrics
+
+    def collect_dagger(self, params, num_steps: int, beta: float, rng):
+        """DAgger collection: act with a β-mixture of expert and learner actions,
+        labeling every step with the expert's action (queried from the live env
+        workers before stepping). Returns (obs_seq, h0, starts, expert_seq, metrics).
+
+        Requires cutoff_fraction == 1.0 on the pool (expert queries are synchronous
+        per-worker round-trips; imitation has no straggler-cutoff semantics)."""
+        assert self._obs is not None, "call reset() first"
+        assert getattr(self.venv, "cutoff_fraction", 1.0) >= 1.0, \
+            "DAgger collection needs a lockstep pool (cutoff_fraction=1.0)"
+        obs_seq, starts, experts = [], [], []
+        ep_metrics = {"success": [], "spl": [], "episode_len": []}
+        h0 = self._h
+        for _ in range(num_steps):
+            expert = self.venv.expert_actions()
+            obs_dev = self._policy_obs(self._obs, self._prev_action)
+            action, _, _, self._h, self._key = self._act_step(
+                params, obs_dev, self._h, self._is_start, self._key
+            )
+            take_expert = rng.rand(self.venv.n) < beta
+            action_np = np.where(take_expert, expert, np.asarray(action)).astype(np.int32)
+            self.venv.step_async(action_np)
+            obs_seq.append(obs_dev)
+            starts.append(self._is_start)
+            experts.append(jnp.asarray(expert))
+            next_obs, _reward, done, infos, _valid = self.venv.step_wait()
+            for inf in infos:
+                if "success" in inf:
+                    for k in ep_metrics:
+                        ep_metrics[k].append(inf[k])
+            self._obs = next_obs
+            self._is_start = jnp.asarray(done)
+            self._prev_action = jnp.where(
+                jnp.asarray(done), jnp.int32(self.venv_num_actions),
+                jnp.asarray(action_np),
+            )
+        obs_stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *obs_seq)
+        metrics = {
+            k: float(np.mean(v)) if v else 0.0 for k, v in ep_metrics.items()
+        }
+        metrics["episodes"] = float(len(ep_metrics["success"]))
+        return obs_stacked, h0, jnp.stack(starts), jnp.stack(experts), metrics

@@ -1,0 +1,75 @@
+"""THOR-backed 1-phase Rearrangement adapter (VERDICT round-1 next #8), driven
+end-to-end on the scripted controller fixture: scene shuffling, dual-controller
+goal view, pose-match metrics, and the greedy expert restoring the scene."""
+
+import numpy as np
+
+from embodied_clip_tpu.envs.thor_rearrange import (
+    REARRANGE_ACTIONS, THORRearrangeEnv,
+)
+from fake_thor import FakeController
+
+DONE = REARRANGE_ACTIONS.index("Done")
+
+
+def make_env(**kw):
+    defaults = dict(
+        scenes=["FakeScene_1"], controller_factory=FakeController,
+        num_misplaced=2, num_toggled_open=1, max_steps=120,
+        visibility_distance=1.5, seed=5,
+    )
+    defaults.update(kw)
+    return THORRearrangeEnv(**defaults)
+
+
+def test_reset_shuffles_and_emits_dual_view():
+    env = make_env()
+    obs = env.reset()
+    assert obs["visual"].shape == (300, 300, 3) and obs["visual"].dtype == np.uint8
+    assert obs["goal_visual"].shape == (300, 300, 3)
+    # something is actually misplaced after the shuffle
+    assert len(env._episode["start_misplaced"]) >= 1
+    # the goal (walkthrough) controller was never shuffled
+    calls = [c for c, _ in env.goal_controller.calls]
+    assert "SetObjectPoses" not in calls
+    # goal view is rendered from the mirrored agent pose
+    ag = env.controller.last_event.metadata["agent"]["position"]
+    gg = env.goal_controller.last_event.metadata["agent"]["position"]
+    assert (ag["x"], ag["z"]) == (gg["x"], gg["z"])
+
+
+def test_done_without_fixing_fails():
+    env = make_env()
+    env.reset()
+    n_start = len(env._episode["start_misplaced"])
+    _, _, done, info = env.step(DONE)
+    assert done and info["success"] == 0.0
+    assert info["prop_fixed"] == 0.0
+    assert info["num_newly_misplaced"] == 0.0
+    assert n_start >= 1
+
+
+def test_expert_restores_scene():
+    env = make_env(seed=11)
+    env.reset()
+    info, done = {}, False
+    for _ in range(env.max_steps + 1):
+        a = env.expert_action()
+        _, _, done, info = env.step(a)
+        if done:
+            break
+    assert done, "expert never finished"
+    assert info["success"] == 1.0, info
+    assert info["prop_fixed"] == 1.0
+    assert info["num_newly_misplaced"] == 0.0
+
+
+def test_open_close_only_episode():
+    env = make_env(num_misplaced=0, num_toggled_open=2, seed=2)
+    env.reset()
+    assert len(env._episode["start_misplaced"]) >= 1  # openness counts as misplaced
+    for _ in range(env.max_steps + 1):
+        _, _, done, info = env.step(env.expert_action())
+        if done:
+            break
+    assert info["success"] == 1.0, info

@@ -256,7 +256,7 @@ def test_gridworld_depth_obs_shapes_and_range():
     assert obsf["depth"].shape == (2, env.view * 4, env.view * 4, 1)
 
 
-def test_rgbd_registered_config_trains():
+def test_rgbd_registered_config_trains(tmp_path):
     """VERDICT round-1 missing #8: ddppo_objectnav_rgbd must be trainable as
     registered — fake env emits frames + depth, scratch CNN consumes both."""
     import dataclasses as _dc
@@ -269,8 +269,7 @@ def test_rgbd_registered_config_trains():
                       ckpt_every_steps=10_000, hidden=32)
     env = exp._build_fake_env()
     assert env.frame_obs and env.depth_obs
-    out = exp.train(output_dir=os.path.join(os.environ.get("TMPDIR", "/tmp"),
-                                            "rgbd_smoke"))
+    out = exp.train(output_dir=str(tmp_path))
     assert out["env_steps"] >= 64
     assert np.isfinite(out["loss"])
 

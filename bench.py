@@ -38,9 +38,14 @@ def main():
     resize_dtype = os.environ.get("BENCH_RESIZE_DTYPE", "float32")
     model = os.environ.get("BENCH_MODEL", "clip_rn50")  # any ENCODER_SPECS name
 
+    quant = os.environ.get("BENCH_QUANT", "")
+
     enc = build_encoder(model, dtype=jnp.bfloat16)
     if os.environ.get("BENCH_FOLD_BN", "1") == "1":
         enc = enc.fold_bn()
+    if quant == "int8":
+        calib = np.random.RandomState(1).randint(0, 256, (32, 300, 300, 3), np.uint8)
+        enc = enc.quantize(calib)
     if resize_dtype != "float32":
         import dataclasses
 

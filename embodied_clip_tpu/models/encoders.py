@@ -133,6 +133,24 @@ class FrozenEncoder:
             self.spec, module, {"params": params}, self.image_size, self.dtype
         )
 
+    def quantize(self, calibration_frames) -> "FrozenEncoder":
+        """Return an int8-trunk encoder (ops/quantize.py): conv traffic halved and
+        MXU rate doubled on the HBM-bound CLIP ResNet trunk; stem, shortcut convs
+        and attnpool stay bf16/f32. Activation scales calibrate on the given uint8
+        frames. Fidelity is a measured trade vs the bf16 path (STATUS.md)."""
+        from embodied_clip_tpu.models.clip_resnet import CLIP_RESNET_CONFIGS
+        from embodied_clip_tpu.ops.quantize import quantize_trunk
+
+        assert self.spec.family == "clip" and self.spec.arch in CLIP_RESNET_CONFIGS, \
+            "int8 quantization targets the CLIP ResNet trunks"
+        folded = self if getattr(self.module, "folded", False) else self.fold_bn()
+        stage_sizes = CLIP_RESNET_CONFIGS[self.spec.arch]["stage_sizes"]
+        x = folded.preprocess(jnp.asarray(calibration_frames))
+        qtrunk = jax.jit(
+            lambda p, xx: quantize_trunk(p, stage_sizes, xx)
+        )(folded.variables["params"]["trunk"], x)
+        return _QuantizedCLIPEncoder(folded, qtrunk, stage_sizes)
+
     def load_torch_state_dict(self, sd) -> "FrozenEncoder":
         """Replace random-init weights with a converted reference checkpoint."""
         if self.spec.family == "imagenet":
@@ -145,6 +163,42 @@ class FrozenEncoder:
                 sd = {k[len("visual."):]: v for k, v in sd.items() if k.startswith("visual.")}
             self.variables = convert_mod.convert_clip_visual(sd, self.spec.arch)
         return self
+
+
+class _QuantizedCLIPEncoder(FrozenEncoder):
+    """CLIP ResNet encoder with an int8 trunk (see FrozenEncoder.quantize)."""
+
+    def __init__(self, folded: FrozenEncoder, qtrunk, stage_sizes):
+        self.qtrunk = qtrunk
+        self.stage_sizes = stage_sizes
+        self._attnpool_params = folded.variables["params"]["attnpool"]
+        from embodied_clip_tpu.models.clip_resnet import (
+            CLIP_RESNET_CONFIGS, AttentionPool2d,
+        )
+
+        cfg = CLIP_RESNET_CONFIGS[folded.spec.arch]
+        self._attnpool = AttentionPool2d(cfg["num_heads"], cfg["output_dim"],
+                                         folded.dtype)
+        # variables = the quantized trunk + attnpool (what encode_fn closes over).
+        super().__init__(
+            folded.spec, folded.module,
+            {"qtrunk": qtrunk, "attnpool": self._attnpool_params},
+            folded.image_size, folded.dtype,
+        )
+
+    def _encode_impl(self, variables, frames):
+        from embodied_clip_tpu.ops.quantize import quantized_trunk_apply
+
+        x = self.preprocess(frames)
+        conv = quantized_trunk_apply(variables["qtrunk"], x, self.stage_sizes,
+                                     out_dtype=self.dtype)
+        avg = jnp.mean(conv.astype(jnp.float32), axis=(1, 2)).astype(conv.dtype)
+        embed = self._attnpool.apply({"params": variables["attnpool"]}, conv)
+        out = {"clip_conv": conv, "clip_avgpool": avg, "clip_attnpool": embed}
+        return {k: jax.lax.stop_gradient(v) for k, v in out.items()}
+
+    def fold_bn(self) -> "FrozenEncoder":
+        return self  # already folded+quantized
 
 
 def build_encoder(name: str, dtype=jnp.float32, seed: int = 0,

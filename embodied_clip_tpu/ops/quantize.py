@@ -1,0 +1,193 @@
+"""Post-training int8 quantization of the frozen CLIP ResNet trunk (inference only).
+
+Why: the RN50 trunk is HBM-bandwidth-bound on TPU (STATUS.md roofline: every stage
+runs at the per-op traffic limit; FLOPs are not the constraint). int8 activations +
+int8 weights halve activation traffic AND double MXU throughput, so the trunk speeds
+up roughly with the traffic reduction — provided the requantization is FUSED into the
+conv epilogues so no f32/bf16 intermediate ever reaches HBM. This module writes the
+graph in exactly that shape: conv(int8,int8)→int32, then one elementwise chain
+(per-channel scale → +residual → relu → round/clip → int8) that XLA fuses into the
+conv output.
+
+Scheme (standard symmetric PTQ):
+  weights      int8 per-output-channel, scale = max|w| / 127 (exact at conv time:
+               int32 accum × (a_scale · w_scale[c]) in f32)
+  activations  int8 per-tensor; every conv input in this trunk is post-ReLU, so
+               values ∈ [0, max] and scale = max / 127 (calibrated on sample frames)
+  stem + attnpool + downsample (1×1 shortcut) convs stay bf16/f32 — they are cheap
+  and keeping them high-precision protects fidelity.
+
+The bf16 path remains the fidelity reference (≤1e-3 cosine north star); the int8
+trunk is a measured trade (see STATUS.md for its cosine-vs-f32 numbers) exposed via
+FrozenEncoder.quantize(calibration_frames).
+
+Reference anchor: this replaces the compute of thor_image_features.py:103-113 (the
+frozen encoder hot loop) — numerics validated against the bf16/f32 paths in
+tests/test_quantize.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["quantize_trunk", "quantized_trunk_apply", "calibrate_trunk"]
+
+_QMAX = 127.0
+
+
+def _conv(x, kernel, stride: int = 1, pet=None):
+    k = kernel.shape[0]
+    pad = [(k // 2, k // 2)] * 2
+    return lax.conv_general_dilated(
+        x, kernel, (stride, stride), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=pet,
+    )
+
+
+def _quantize_kernel(kernel) -> Dict[str, jnp.ndarray]:
+    """Per-output-channel symmetric int8 weights."""
+    k = jnp.asarray(kernel, jnp.float32)
+    scale = jnp.max(jnp.abs(k), axis=(0, 1, 2)) / _QMAX + 1e-30
+    q = jnp.clip(jnp.round(k / scale), -_QMAX, _QMAX).astype(jnp.int8)
+    return {"kernel_q": q, "w_scale": scale}
+
+
+def _requant(x_f32, a_scale):
+    """f32 (non-negative, post-relu) → int8 with per-tensor scale."""
+    return jnp.clip(jnp.round(x_f32 / a_scale), 0, _QMAX).astype(jnp.int8)
+
+
+def _block_names(stage_sizes: Sequence[int]):
+    for stage, n in enumerate(stage_sizes):
+        for b in range(n):
+            stride = 2 if (b == 0 and stage > 0) else 1
+            yield f"layer{stage + 1}_{b}", stride
+
+
+# --------------------------------------------------------------------- calibration
+
+
+def calibrate_trunk(folded_trunk_params: Dict[str, Any], stage_sizes: Sequence[int],
+                    x, dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+    """Run the folded trunk on calibration input; record the max of every tensor
+    that the int8 graph will quantize (keys match quantized_trunk_apply)."""
+    p = folded_trunk_params
+    scales: Dict[str, jnp.ndarray] = {}
+
+    def record(name, t):
+        scales[name] = jnp.max(t).astype(jnp.float32) / _QMAX + 1e-30
+        return t
+
+    def cb(name, t, stride=1, relu=True):
+        sub = p
+        for part in name.split("/"):
+            sub = sub[part]
+        out = _conv(t.astype(dtype), jnp.asarray(sub["conv"]["kernel"], dtype),
+                    stride) + jnp.asarray(sub["conv"]["bias"], dtype)
+        return nn.relu(out) if relu else out
+
+    t = cb("stem1", x, 2)
+    t = cb("stem2", t)
+    t = cb("stem3", t)
+    t = nn.avg_pool(t, (2, 2), strides=(2, 2))
+    record("stem.out", t)
+    for name, stride in _block_names(stage_sizes):
+        o = cb(f"{name}/cb1", t)
+        record(f"{name}/cb2.in", o)
+        o = cb(f"{name}/cb2", o)
+        if stride > 1:
+            o = nn.avg_pool(o, (stride, stride), strides=(stride, stride))
+        record(f"{name}/cb3.in", o)
+        o = cb(f"{name}/cb3", o, relu=False)
+        identity = t
+        if stride > 1 or t.shape[-1] != o.shape[-1]:
+            if stride > 1:
+                identity = nn.avg_pool(identity, (stride, stride),
+                                       strides=(stride, stride))
+            identity = cb(f"{name}/down", identity, relu=False)
+        t = nn.relu(o + identity)
+        record(f"{name}.out", t)
+    return scales
+
+
+# -------------------------------------------------------------------- quantization
+
+
+def quantize_trunk(folded_trunk_params: Dict[str, Any], stage_sizes: Sequence[int],
+                   calibration_x) -> Dict[str, Any]:
+    """Folded (conv+bias) trunk params → quantized param tree:
+    int8 kernels + per-channel weight scales for the bottleneck cb1/cb2/cb3 convs,
+    original f32/bf16 params for stem and shortcut convs, calibrated activation
+    scales."""
+    act_scales = calibrate_trunk(folded_trunk_params, stage_sizes, calibration_x)
+    q: Dict[str, Any] = {"act_scales": act_scales, "fp": {}}
+    p = folded_trunk_params
+    for name in ("stem1", "stem2", "stem3"):
+        q["fp"][name] = p[name]
+    for name, _stride in _block_names(stage_sizes):
+        for cbname in ("cb1", "cb2", "cb3"):
+            sub = p[name][cbname]["conv"]
+            q[f"{name}/{cbname}"] = dict(
+                _quantize_kernel(sub["kernel"]),
+                bias=jnp.asarray(sub["bias"], jnp.float32),
+            )
+        if "down" in p[name]:
+            q["fp"][f"{name}/down"] = p[name]["down"]
+    return q
+
+
+def quantized_trunk_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
+                          out_dtype=jnp.bfloat16):
+    """int8 trunk forward: x is the preprocessed image batch (f32/bf16 NHWC).
+    Returns the conv feature map in out_dtype."""
+    a = q["act_scales"]
+
+    def fp_conv(name, t, stride=1, relu=True):
+        sub = q["fp"][name]["conv"]
+        out = _conv(t.astype(jnp.bfloat16),
+                    jnp.asarray(sub["kernel"], jnp.bfloat16), stride)
+        out = out.astype(jnp.float32) + jnp.asarray(sub["bias"], jnp.float32)
+        return nn.relu(out) if relu else out
+
+    def qconv(name, t8, in_scale):
+        """int8 conv → f32 (bias added); caller fuses the rest of the epilogue."""
+        sub = q[name]
+        out = _conv(t8, sub["kernel_q"], pet=jnp.int32)
+        return out.astype(jnp.float32) * (in_scale * sub["w_scale"]) + sub["bias"]
+
+    t = fp_conv("stem1", x, 2)
+    t = fp_conv("stem2", t)
+    t = fp_conv("stem3", t)
+    t = nn.avg_pool(t, (2, 2), strides=(2, 2))
+    s_in = a["stem.out"]
+    t8 = _requant(t, s_in)
+
+    blocks = list(_block_names(stage_sizes))
+    for name, stride in blocks:
+        o = nn.relu(qconv(f"{name}/cb1", t8, s_in))
+        s2 = a[f"{name}/cb2.in"]
+        o = nn.relu(qconv(f"{name}/cb2", _requant(o, s2), s2))
+        if stride > 1:
+            o = nn.avg_pool(o, (stride, stride), strides=(stride, stride))
+        s3 = a[f"{name}/cb3.in"]
+        o = qconv(f"{name}/cb3", _requant(o, s3), s3)
+
+        if f"{name}/down" in q["fp"]:
+            identity = t8.astype(jnp.float32) * s_in
+            if stride > 1:
+                identity = nn.avg_pool(identity, (stride, stride),
+                                       strides=(stride, stride))
+            identity = fp_conv(f"{name}/down", identity, relu=False)
+        else:
+            identity = t8.astype(jnp.float32) * s_in
+        out = nn.relu(o + identity)
+        if name == blocks[-1][0]:
+            return out.astype(out_dtype)  # conv map: no final requant round-trip
+        s_in = a[f"{name}.out"]
+        t8 = _requant(out, s_in)

@@ -1,0 +1,52 @@
+"""int8 trunk quantization (ops/quantize.py): numerics vs the folded f32 path on
+the full ModifiedResNet code path (tiny config), scale/shape invariants."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from embodied_clip_tpu.models.encoders import build_encoder
+from embodied_clip_tpu.parity import cosine_distance
+
+
+@pytest.fixture(scope="module")
+def encs():
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 256, (4, 160, 160, 3), np.uint8)
+    enc = build_encoder("clip_rn_tiny", dtype=jnp.float32).fold_bn()
+    qenc = enc.quantize(frames[:2])
+    return enc, qenc, frames
+
+
+def test_quantized_outputs_close_to_f32(encs):
+    enc, qenc, frames = encs
+    ref = enc.encode(frames)
+    out = qenc.encode(frames)
+    assert set(out) == {"clip_conv", "clip_avgpool", "clip_attnpool"}
+    for k in ref:
+        assert out[k].shape == ref[k].shape
+        d = cosine_distance(np.asarray(ref[k], np.float32),
+                            np.asarray(out[k], np.float32))
+        assert d < 1e-3, (k, d)
+
+
+def test_quantized_params_are_int8(encs):
+    _, qenc, _ = encs
+    q = qenc.qtrunk
+    assert q["layer1_0/cb2"]["kernel_q"].dtype == jnp.int8
+    # per-output-channel weight scales
+    k = q["layer2_0/cb1"]
+    assert k["w_scale"].shape == (k["kernel_q"].shape[-1],)
+    # activation scales are positive scalars
+    for name, s in q["act_scales"].items():
+        assert float(s) > 0.0, name
+
+
+def test_quantized_encode_deterministic(encs):
+    _, qenc, frames = encs
+    a = qenc.encode(frames)
+    b = qenc.encode(frames)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k], np.float32),
+                                      np.asarray(b[k], np.float32))

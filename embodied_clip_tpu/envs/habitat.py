@@ -37,19 +37,23 @@ class HabitatNavEnv(HostEnv):
                 + HabitatNavEnv.SUCCESS_REWARD * success)
 
     def __init__(self, config_path: str, task: str = "objectnav",
-                 rgb_only: bool = True, max_steps: int = 500, seed: int = 0):
-        try:
-            import habitat
-        except ImportError as e:
-            raise ImportError(
-                "habitat-lab + habitat-sim are required for HabitatNavEnv "
-                "(see the reference's install runbook, baselines_habitat.md). "
-                "For hermetic runs use envs.host_gridworld.HostGridNav."
-            ) from e
+                 rgb_only: bool = True, max_steps: int = 500, seed: int = 0,
+                 env_factory=None):
+        # env_factory: inject a habitat.Env-compatible object (tests use a scripted
+        # fake, tests/fake_habitat.py, to pin obs mapping / reward / metrics without
+        # habitat-sim).
+        if env_factory is None:
+            try:
+                import habitat
+            except ImportError as e:
+                raise ImportError(
+                    "habitat-lab + habitat-sim are required for HabitatNavEnv "
+                    "(see the reference's install runbook, baselines_habitat.md). "
+                    "For hermetic runs use envs.host_gridworld.HostGridNav."
+                ) from e
 
-        self._habitat = habitat
-        cfg = habitat.get_config(config_path)
-        self.env = habitat.Env(config=cfg)
+            env_factory = lambda path: habitat.Env(config=habitat.get_config(path))
+        self.env = env_factory(config_path)
         self.env.seed(seed)
         self.task = task
         self.rgb_only = rgb_only

@@ -38,7 +38,10 @@ def main():
     resize_dtype = os.environ.get("BENCH_RESIZE_DTYPE", "float32")
     model = os.environ.get("BENCH_MODEL", "clip_rn50")  # any ENCODER_SPECS name
 
-    quant = os.environ.get("BENCH_QUANT", "")
+    # int8 trunk is the default serving configuration: full-size RN50 cosine vs f32
+    # is 4.6e-05 (attnpool) / 2.1e-04 (conv map) — well inside the 1e-3 north star.
+    # Set BENCH_QUANT=none for the bf16 fidelity-reference path.
+    quant = os.environ.get("BENCH_QUANT", "int8")
 
     enc = build_encoder(model, dtype=jnp.bfloat16)
     if os.environ.get("BENCH_FOLD_BN", "1") == "1":

@@ -50,3 +50,4 @@ def test_quantized_encode_deterministic(encs):
     for k in a:
         np.testing.assert_array_equal(np.asarray(a[k], np.float32),
                                       np.asarray(b[k], np.float32))
+

@@ -42,7 +42,7 @@ _QMAX = 127.0
 
 def _conv(x, kernel, stride: int = 1, pet=None):
     k = kernel.shape[0]
-    pad = [(k // 2, k // 2)] * 2
+    pad = [((k - 1) // 2, (k - 1) // 2)] * 2  # SAME for odd k; none for the 2×2 pool-folded convs
     return lax.conv_general_dilated(
         x, kernel, (stride, stride), pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -107,9 +107,12 @@ def calibrate_trunk(folded_trunk_params: Dict[str, Any], stage_sizes: Sequence[i
         o = cb(f"{name}/cb1", t)
         record(f"{name}/cb2.in", o)
         o = cb(f"{name}/cb2", o)
+        # cb3.in is recorded PRE-pool for stride blocks: the int8 graph folds the
+        # 2×2 avg-pool into cb3 (see quantize_trunk), so quantization happens on
+        # the pre-pool tensor (its max upper-bounds the pooled max — safe scale).
+        record(f"{name}/cb3.in", o)
         if stride > 1:
             o = nn.avg_pool(o, (stride, stride), strides=(stride, stride))
-        record(f"{name}/cb3.in", o)
         o = cb(f"{name}/cb3", o, relu=False)
         identity = t
         if stride > 1 or t.shape[-1] != o.shape[-1]:
@@ -136,13 +139,25 @@ def quantize_trunk(folded_trunk_params: Dict[str, Any], stage_sizes: Sequence[in
     p = folded_trunk_params
     for name in ("stem1", "stem2", "stem3"):
         q["fp"][name] = p[name]
-    for name, _stride in _block_names(stage_sizes):
+    for name, stride in _block_names(stage_sizes):
         for cbname in ("cb1", "cb2", "cb3"):
             sub = p[name][cbname]["conv"]
             q[f"{name}/{cbname}"] = dict(
                 _quantize_kernel(sub["kernel"]),
                 bias=jnp.asarray(sub["bias"], jnp.float32),
             )
+        if stride > 1:
+            # Fold the 2×2 stride-2 avg-pool into cb3: tile the 1×1 int8 kernel to
+            # 2×2 (same quantized values) and fold the 1/4 mean into the weight
+            # scale. One stride-2 conv replaces [pool → requant → conv] — the
+            # pool no longer splits cb2's conv from its requant epilogue, so no
+            # s32 accumulator ever reaches HBM (measured ~0.7 ms/encode).
+            c3 = q[f"{name}/cb3"]
+            q[f"{name}/cb3"] = {
+                "kernel_q": jnp.tile(c3["kernel_q"], (stride, stride, 1, 1)),
+                "w_scale": c3["w_scale"] / (stride * stride),
+                "bias": c3["bias"],
+            }
         if "down" in p[name]:
             q["fp"][f"{name}/down"] = p[name]["down"]
 
@@ -162,9 +177,9 @@ def quantized_trunk_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
         out = out.astype(jnp.float32) + jnp.asarray(sub["bias"], jnp.float32)
         return nn.relu(out) if relu else out
 
-    def qconv(sub, t8, in_scale):
+    def qconv(sub, t8, in_scale, stride=1):
         """int8 conv → f32 (bias added); caller fuses the rest of the epilogue."""
-        out = _conv(t8, sub["kernel_q"], pet=jnp.int32)
+        out = _conv(t8, sub["kernel_q"], stride, pet=jnp.int32)
         return out.astype(jnp.float32) * (in_scale * sub["w_scale"]) + sub["bias"]
 
     t = fp_conv("stem1", x, 2)
@@ -179,10 +194,9 @@ def quantized_trunk_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
         o = nn.relu(qconv(q[f"{name}/cb1"], t8, s_in))
         s2 = a[f"{name}/cb2.in"]
         o = nn.relu(qconv(q[f"{name}/cb2"], _requant(o, s2), s2))
-        if stride > 1:
-            o = nn.avg_pool(o, (stride, stride), strides=(stride, stride))
         s3 = a[f"{name}/cb3.in"]
-        o = qconv(q[f"{name}/cb3"], _requant(o, s3), s3)
+        # stride blocks: cb3 carries the folded 2×2 avg-pool (stride-2 kernel)
+        o = qconv(q[f"{name}/cb3"], _requant(o, s3), s3, stride=stride)
 
         if f"{name}/down" in q["fp"]:
             identity = t8.astype(jnp.float32) * s_in

@@ -42,7 +42,7 @@ _QMAX = 127.0
 
 def _conv(x, kernel, stride: int = 1, pet=None):
     k = kernel.shape[0]
-    pad = [((k - 1) // 2, (k - 1) // 2)] * 2  # SAME for odd k; none for the 2×2 pool-folded convs
+    pad = [((k - 1) // 2, (k - 1) // 2)] * 2
     return lax.conv_general_dilated(
         x, kernel, (stride, stride), pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -56,6 +56,20 @@ def _quantize_kernel(kernel) -> Dict[str, jnp.ndarray]:
     scale = jnp.max(jnp.abs(k), axis=(0, 1, 2)) / _QMAX + 1e-30
     q = jnp.clip(jnp.round(k / scale), -_QMAX, _QMAX).astype(jnp.int8)
     return {"kernel_q": q, "w_scale": scale}
+
+
+def _avg_pool_int8(x8, window: int):
+    """Exact integer 2×2 (or w×w) mean-pool of an int8 tensor: sum in s32, then
+    round-half-up back to s8. Used by the stride blocks so cb2's requant fuses
+    into its conv epilogue (quantize pre-pool) and cb3 stays a plain 1×1 conv at
+    the pooled resolution — both measured faster than a stride-2 2×2 conv or a
+    pool that splits the conv from its epilogue. Adds one 0.5-LSB rounding of the
+    pooled mean (input is already on the same int8 grid)."""
+    n = window * window
+    summed = lax.reduce_window(
+        x8.astype(jnp.int32), 0, lax.add,
+        (1, window, window, 1), (1, window, window, 1), "VALID")
+    return ((summed + n // 2) // n).astype(jnp.int8)
 
 
 def _requant(x_f32, a_scale):
@@ -107,9 +121,10 @@ def calibrate_trunk(folded_trunk_params: Dict[str, Any], stage_sizes: Sequence[i
         o = cb(f"{name}/cb1", t)
         record(f"{name}/cb2.in", o)
         o = cb(f"{name}/cb2", o)
-        # cb3.in is recorded PRE-pool for stride blocks: the int8 graph folds the
-        # 2×2 avg-pool into cb3 (see quantize_trunk), so quantization happens on
-        # the pre-pool tensor (its max upper-bounds the pooled max — safe scale).
+        # cb3.in is recorded PRE-pool for stride blocks: the int8 graph
+        # quantizes before the pool (so cb2's requant fuses into its conv
+        # epilogue) and pools on the int8 grid (_avg_pool_int8); the pre-pool
+        # max upper-bounds the pooled max — safe scale.
         record(f"{name}/cb3.in", o)
         if stride > 1:
             o = nn.avg_pool(o, (stride, stride), strides=(stride, stride))
@@ -146,18 +161,6 @@ def quantize_trunk(folded_trunk_params: Dict[str, Any], stage_sizes: Sequence[in
                 _quantize_kernel(sub["kernel"]),
                 bias=jnp.asarray(sub["bias"], jnp.float32),
             )
-        if stride > 1:
-            # Fold the 2×2 stride-2 avg-pool into cb3: tile the 1×1 int8 kernel to
-            # 2×2 (same quantized values) and fold the 1/4 mean into the weight
-            # scale. One stride-2 conv replaces [pool → requant → conv] — the
-            # pool no longer splits cb2's conv from its requant epilogue, so no
-            # s32 accumulator ever reaches HBM (measured ~0.7 ms/encode).
-            c3 = q[f"{name}/cb3"]
-            q[f"{name}/cb3"] = {
-                "kernel_q": jnp.tile(c3["kernel_q"], (stride, stride, 1, 1)),
-                "w_scale": c3["w_scale"] / (stride * stride),
-                "bias": c3["bias"],
-            }
         if "down" in p[name]:
             q["fp"][f"{name}/down"] = p[name]["down"]
 
@@ -177,9 +180,9 @@ def quantized_trunk_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
         out = out.astype(jnp.float32) + jnp.asarray(sub["bias"], jnp.float32)
         return nn.relu(out) if relu else out
 
-    def qconv(sub, t8, in_scale, stride=1):
+    def qconv(sub, t8, in_scale):
         """int8 conv → f32 (bias added); caller fuses the rest of the epilogue."""
-        out = _conv(t8, sub["kernel_q"], stride, pet=jnp.int32)
+        out = _conv(t8, sub["kernel_q"], pet=jnp.int32)
         return out.astype(jnp.float32) * (in_scale * sub["w_scale"]) + sub["bias"]
 
     t = fp_conv("stem1", x, 2)
@@ -195,8 +198,10 @@ def quantized_trunk_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
         s2 = a[f"{name}/cb2.in"]
         o = nn.relu(qconv(q[f"{name}/cb2"], _requant(o, s2), s2))
         s3 = a[f"{name}/cb3.in"]
-        # stride blocks: cb3 carries the folded 2×2 avg-pool (stride-2 kernel)
-        o = qconv(q[f"{name}/cb3"], _requant(o, s3), s3, stride=stride)
+        o8 = _requant(o, s3)  # pre-pool for stride blocks: cb2's epilogue fuses
+        if stride > 1:
+            o8 = _avg_pool_int8(o8, stride)
+        o = qconv(q[f"{name}/cb3"], o8, s3)
 
         if f"{name}/down" in q["fp"]:
             identity = t8.astype(jnp.float32) * s_in

@@ -181,8 +181,15 @@ def quantized_trunk_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
         return nn.relu(out) if relu else out
 
     def qconv(sub, t8, in_scale):
-        """int8 conv → f32 (bias added); caller fuses the rest of the epilogue."""
-        out = _conv(t8, sub["kernel_q"], pet=jnp.int32)
+        """int8 conv → f32 (bias added); caller fuses the rest of the epilogue.
+        1×1 kernels go through einsum (dot_general): measurably faster than the
+        conv emitter for this net's small-channel 1×1s."""
+        k = sub["kernel_q"]
+        if k.shape[0] == 1 and k.shape[1] == 1:
+            out = jnp.einsum("nhwc,cd->nhwd", t8, k[0, 0],
+                             preferred_element_type=jnp.int32)
+        else:
+            out = _conv(t8, k, pet=jnp.int32)
         return out.astype(jnp.float32) * (in_scale * sub["w_scale"]) + sub["bias"]
 
     t = fp_conv("stem1", x, 2)

@@ -148,21 +148,48 @@ class ActorCritic(nn.Module):
     def initial_state(self, batch: int) -> jnp.ndarray:
         return jnp.zeros((batch, self.hidden), self.dtype)
 
+    # -- unroll building blocks (see unroll_policy): only the GRU is recurrent,
+    # so features and heads run batched over the flattened (T·B) sequence.
+
+    def features(self, obs: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        return self._features(obs)
+
+    def gru_step(self, x: jnp.ndarray, h: jnp.ndarray, done: jnp.ndarray):
+        h = jnp.where(done[:, None], jnp.zeros_like(h), h)
+        return self.gru(h, x)
+
+    def heads(self, out: jnp.ndarray):
+        logits = self.actor(out.astype(jnp.float32))
+        value = self.critic(out.astype(jnp.float32))[..., 0]
+        return logits, value
+
 
 def unroll_policy(apply_fn, params, obs_seq: Dict[str, jnp.ndarray], h0: jnp.ndarray,
                   done_seq: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Unroll a policy over T steps via lax.scan.
+    """Unroll a policy over T steps.
 
     obs_seq: pytree of (T, B, ...); done_seq: (T, B) episode-start markers (hidden
     reset before those steps). Returns (logits (T,B,A), values (T,B), hT). Rollout
     collection and the PPO update's recomputation share this single definition —
     guaranteeing the recurrent state the learner sees matches what acted.
+
+    Only the GRU recurrence runs under lax.scan; the visual compressor, goal /
+    prev-action embeds, and actor/critic heads are not recurrent, so they run once
+    over the flattened (T·B) batch — one large MXU-friendly pass instead of T
+    small ones (same math; the per-step path computes identical values).
     """
+    T, B = done_seq.shape
+
+    flat_obs = jax.tree.map(lambda t: t.reshape((T * B,) + t.shape[2:]), obs_seq)
+    x = apply_fn({"params": params}, flat_obs, method="features")
+    x_seq = x.reshape(T, B, -1)
 
     def step(h, inp):
-        obs, done = inp
-        logits, value, h = apply_fn({"params": params}, obs, h, done)
-        return h, (logits, value)
+        xt, done = inp
+        h, out = apply_fn({"params": params}, xt, h, done, method="gru_step")
+        return h, out
 
-    hT, (logits, values) = jax.lax.scan(step, h0, (obs_seq, done_seq))
-    return logits, values, hT
+    hT, outs = jax.lax.scan(step, h0, (x_seq, done_seq))
+    logits, values = apply_fn(
+        {"params": params}, outs.reshape(T * B, -1), method="heads")
+    return logits.reshape(T, B, -1), values.reshape(T, B), hT

@@ -18,6 +18,8 @@ def main():
     p.add_argument("--rollout", type=int, default=64)
     p.add_argument("--frames", action="store_true",
                    help="uint8 frame observations + frozen CLIP RN50 in-rollout")
+    p.add_argument("--int8", action="store_true",
+                   help="serve the frozen encoder with the int8 trunk (PTQ)")
     p.add_argument("--mesh", action="store_true",
                    help="shard the env batch over all devices (DD-PPO SPMD)")
     args = p.parse_args()
@@ -35,6 +37,11 @@ def main():
         from embodied_clip_tpu.models.encoders import build_encoder
 
         enc = build_encoder("clip_rn50", dtype=jnp.bfloat16).fold_bn()
+        if args.int8:
+            import numpy as np
+
+            enc = enc.quantize(
+                np.random.RandomState(0).randint(0, 256, (16, 300, 300, 3), np.uint8))
         fn, variables = enc.encode_fn(), enc.variables
         encode = lambda f: fn(variables, f)["clip_conv"]
 

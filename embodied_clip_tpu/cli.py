@@ -70,7 +70,7 @@ def _cmd_extract_features(argv):
     p.add_argument("--output-dir", dest="output_dir", default="data")
     p.add_argument("--encoders", default="imagenet_rn50,clip_rn50")
     p.add_argument("--batch-size", type=int, default=256)
-    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16", "int8"])
     args = p.parse_args(argv)
 
     from embodied_clip_tpu.generate_data.extract import extract_thor_features
@@ -164,7 +164,7 @@ def _cmd_verify_parity(argv):
                    help="reference weights to convert (state_dict / jit archive)")
     p.add_argument("--variables", default=None,
                    help="already-converted orbax checkpoint dir (convert-weights)")
-    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16", "int8"])
     p.add_argument("--threshold", type=float, default=1e-3)
     args = p.parse_args(argv)
 

@@ -127,8 +127,16 @@ class NavRLExperiment(Experiment):
 
         from embodied_clip_tpu.models.encoders import build_encoder
 
-        dtype = jnp.bfloat16 if self.encoder_dtype == "bfloat16" else jnp.float32
+        dtype = (jnp.bfloat16 if self.encoder_dtype in ("bfloat16", "int8")
+                 else jnp.float32)
         enc = build_encoder(self.encoder, dtype=dtype).fold_bn()
+        if self.encoder_dtype == "int8" and self.encoder.startswith("clip_rn"):
+            # int8-trunk serving config (see ops/quantize.py); noise calibration
+            # is within ~2e-4 conv-map cosine of f32 (STATUS.md)
+            import numpy as np
+
+            enc = enc.quantize(np.random.RandomState(0).randint(
+                0, 256, (16, 300, 300, 3), np.uint8))
         fn = enc.encode_fn()
         variables = enc.variables
         key = "clip_conv" if self.encoder.startswith("clip") else "imagenet_conv"

@@ -77,7 +77,11 @@ class FeatureStoreWriter:
             batch = jnp.asarray(frames_u8[lo : lo + self.batch_size])
             for enc in self.encoders.values():
                 for key, val in enc.encode(batch).items():
-                    out.setdefault(key, []).append(np.asarray(val))
+                    # cache in f32 regardless of compute dtype — the reference
+                    # .float()s before caching (thor_image_features.py:111-113),
+                    # and npz can't round-trip bfloat16
+                    out.setdefault(key, []).append(
+                        np.asarray(val.astype(jnp.float32)))
         return {k: np.concatenate(v) for k, v in out.items()}
 
     # ------------------------------------------------------------------ THOR probing

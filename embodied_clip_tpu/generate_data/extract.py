@@ -19,13 +19,27 @@ import numpy as np
 from embodied_clip_tpu.data.feature_store import FeatureStoreWriter
 
 
-def _build_encoders(encoder_names: Sequence[str], dtype: str):
+def _build_encoders(encoder_names: Sequence[str], dtype: str, calibration=None):
+    """dtype ∈ {float32, bfloat16, int8}. int8 = bf16 graph with the PTQ int8
+    trunk for CLIP ResNets (the fast serving config; activation scales calibrate
+    on `calibration` frames — pass real data); other families fall back to bf16."""
     import jax.numpy as jnp
 
+    from embodied_clip_tpu.models.clip_resnet import CLIP_RESNET_CONFIGS
     from embodied_clip_tpu.models.encoders import build_encoder
 
-    jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
-    return {name: build_encoder(name, dtype=jdtype) for name in encoder_names}
+    jdtype = jnp.bfloat16 if dtype in ("bfloat16", "int8") else jnp.float32
+    encoders = {}
+    for name in encoder_names:
+        enc = build_encoder(name, dtype=jdtype)
+        if dtype == "int8":
+            enc = enc.fold_bn()
+            if (enc.spec.family == "clip"
+                    and enc.spec.arch in CLIP_RESNET_CONFIGS
+                    and calibration is not None):
+                enc = enc.quantize(calibration)
+        encoders[name] = enc
+    return encoders
 
 
 def extract_thor_features(
@@ -36,7 +50,7 @@ def extract_thor_features(
     dtype: str = "float32",
     splits: Sequence[str] = ("train", "val", "test"),
 ) -> None:
-    writer = FeatureStoreWriter(_build_encoders(encoder_names, dtype), batch_size)
+    writer = None
     for split in splits:
         frames, sems, colors, free, scenes = [], [], [], [], []
         for scene_path in sorted(glob(os.path.join(data_dir, split, "*.npy"))):
@@ -49,6 +63,10 @@ def extract_thor_features(
                 scenes.append(scene_name)
         if not frames:
             continue
+        if writer is None:  # int8 calibrates on the first split's real frames
+            encs = _build_encoders(encoder_names, dtype,
+                                   calibration=np.stack(frames[:32]))
+            writer = FeatureStoreWriter(encs, batch_size)
         writer.write_thor_split(
             output_dir, split,
             frames=np.stack(frames),
@@ -70,9 +88,11 @@ def extract_reachable_features(
     CSR edge image (png) into pooled embeddings keyed by image name."""
     from PIL import Image
 
-    writer = FeatureStoreWriter(_build_encoders(encoder_names, dtype), batch_size)
     images = {}
     for path in sorted(glob(os.path.join(data_dir, "*.png"))):
         name = os.path.splitext(os.path.basename(path))[0]
         images[name] = np.asarray(Image.open(path).convert("RGB"))
+    calib = (np.stack(list(images.values())[:32]) if images else None)
+    writer = FeatureStoreWriter(_build_encoders(encoder_names, dtype, calib),
+                                batch_size)
     writer.write_reachable_features(output_dir, images)

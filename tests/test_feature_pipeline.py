@@ -99,3 +99,33 @@ def test_extract_thor_features_from_scene_files(tmp_path):
         assert z["object_localization"][:, 0, 0].all()
         assert z["free_space"].shape == (3,)
         assert list(z["scene"]) == ["FloorPlan1"] * 3
+
+
+def test_extract_thor_features_int8(tmp_path):
+    """dtype='int8' serves CLIP ResNets through the PTQ trunk (calibrated on the
+    split's own frames); store contents stay finite and well-shaped."""
+    rng = np.random.RandomState(0)
+    color_map = {TARGET_OBJECTS[0]: (10, 20, 30)}
+    d = tmp_path / "scenes" / "train"
+    d.mkdir(parents=True)
+    records = []
+    for _ in range(3):
+        sem = np.zeros((48, 48, 3), np.uint8)
+        sem[:16, :16] = color_map[TARGET_OBJECTS[0]]
+        records.append({
+            "frame": rng.randint(0, 256, (48, 48, 3), np.uint8),
+            "semantic_frame": sem,
+            "object_id_to_color": color_map,
+            "valid_moves_forward": int(rng.randint(0, 12)),
+        })
+    np.save(str(d / "FloorPlan1.npy"), records)
+
+    from embodied_clip_tpu.generate_data.extract import extract_thor_features
+
+    out = tmp_path / "features"
+    extract_thor_features(str(tmp_path / "scenes"), str(out),
+                          encoder_names=["clip_rn_tiny"], batch_size=4,
+                          dtype="int8", splits=("train",))
+    with np.load(str(out / "thor_train.npz")) as z:
+        key = [k for k in z.files if "conv" in k][0]
+        assert np.isfinite(np.asarray(z[key], np.float32)).all()

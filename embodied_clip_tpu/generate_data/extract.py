@@ -34,9 +34,9 @@ def _build_encoders(encoder_names: Sequence[str], dtype: str, calibration=None):
         enc = build_encoder(name, dtype=jdtype)
         if dtype == "int8":
             enc = enc.fold_bn()
-            if (enc.spec.family == "clip"
-                    and enc.spec.arch in CLIP_RESNET_CONFIGS
-                    and calibration is not None):
+            quantizable = (enc.spec.family == "imagenet"
+                           or enc.spec.arch in CLIP_RESNET_CONFIGS)
+            if quantizable and calibration is not None:
                 enc = enc.quantize(calibration)
         encoders[name] = enc
     return encoders

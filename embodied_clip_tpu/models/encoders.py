@@ -135,17 +135,28 @@ class FrozenEncoder:
 
     def quantize(self, calibration_frames) -> "FrozenEncoder":
         """Return an int8-trunk encoder (ops/quantize.py): conv traffic halved and
-        MXU rate doubled on the HBM-bound CLIP ResNet trunk; stem, shortcut convs
-        and attnpool stay bf16/f32. Activation scales calibrate on the given uint8
-        frames. Fidelity is a measured trade vs the bf16 path (STATUS.md)."""
+        MXU rate doubled on the HBM-bound ResNet trunks (CLIP and torchvision
+        families); stem, shortcut convs and attnpool stay bf16/f32. Activation
+        scales calibrate on the given uint8 frames. Fidelity is a measured trade
+        vs the bf16 path (STATUS.md)."""
         from embodied_clip_tpu.models.clip_resnet import CLIP_RESNET_CONFIGS
-        from embodied_clip_tpu.ops.quantize import quantize_trunk
+        from embodied_clip_tpu.ops.quantize import (
+            quantize_resnet_trunk, quantize_trunk,
+        )
 
-        assert self.spec.family == "clip" and self.spec.arch in CLIP_RESNET_CONFIGS, \
-            "int8 quantization targets the CLIP ResNet trunks"
         folded = self if getattr(self.module, "folded", False) else self.fold_bn()
-        stage_sizes = CLIP_RESNET_CONFIGS[self.spec.arch]["stage_sizes"]
         x = folded.preprocess(jnp.asarray(calibration_frames))
+        if self.spec.family == "imagenet":
+            cfg = RESNET_CONFIGS[self.spec.arch]
+            qtrunk = jax.jit(
+                lambda p, xx: quantize_resnet_trunk(
+                    p, cfg["stage_sizes"], cfg["block"], xx)
+            )(folded.variables["params"], x)
+            return _QuantizedResNetEncoder(folded, qtrunk, cfg["stage_sizes"],
+                                           cfg["block"])
+        assert self.spec.arch in CLIP_RESNET_CONFIGS, \
+            "int8 quantization targets the ResNet trunks (ViT stays bf16)"
+        stage_sizes = CLIP_RESNET_CONFIGS[self.spec.arch]["stage_sizes"]
         qtrunk = jax.jit(
             lambda p, xx: quantize_trunk(p, stage_sizes, xx)
         )(folded.variables["params"]["trunk"], x)
@@ -195,6 +206,30 @@ class _QuantizedCLIPEncoder(FrozenEncoder):
         avg = jnp.mean(conv.astype(jnp.float32), axis=(1, 2)).astype(conv.dtype)
         embed = self._attnpool.apply({"params": variables["attnpool"]}, conv)
         out = {"clip_conv": conv, "clip_avgpool": avg, "clip_attnpool": embed}
+        return {k: jax.lax.stop_gradient(v) for k, v in out.items()}
+
+    def fold_bn(self) -> "FrozenEncoder":
+        return self  # already folded+quantized
+
+
+class _QuantizedResNetEncoder(FrozenEncoder):
+    """torchvision-family encoder with an int8 trunk (see FrozenEncoder.quantize)."""
+
+    def __init__(self, folded: FrozenEncoder, qtrunk, stage_sizes, block):
+        self.qtrunk = qtrunk
+        self.stage_sizes = stage_sizes
+        self.block = block
+        super().__init__(folded.spec, folded.module, {"qtrunk": qtrunk},
+                         folded.image_size, folded.dtype)
+
+    def _encode_impl(self, variables, frames):
+        from embodied_clip_tpu.ops.quantize import quantized_resnet_apply
+
+        x = self.preprocess(frames)
+        conv = quantized_resnet_apply(variables["qtrunk"], x, self.stage_sizes,
+                                      self.block, out_dtype=self.dtype)
+        avg = jnp.mean(conv.astype(jnp.float32), axis=(1, 2)).astype(conv.dtype)
+        out = {"imagenet_conv": conv, "imagenet_avgpool": avg}
         return {k: jax.lax.stop_gradient(v) for k, v in out.items()}
 
     def fold_bn(self) -> "FrozenEncoder":

@@ -35,7 +35,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["quantize_trunk", "quantized_trunk_apply", "calibrate_trunk"]
+__all__ = [
+    "quantize_trunk", "quantized_trunk_apply", "calibrate_trunk",
+    "quantize_resnet_trunk", "quantized_resnet_apply", "calibrate_resnet_trunk",
+]
 
 _QMAX = 127.0
 
@@ -70,6 +73,16 @@ def _avg_pool_int8(x8, window: int):
         x8.astype(jnp.int32), 0, lax.add,
         (1, window, window, 1), (1, window, window, 1), "VALID")
     return ((summed + n // 2) // n).astype(jnp.int8)
+
+
+def _max_pool_int8(x8, window: int = 3, stride: int = 2, pad: int = 1):
+    """torchvision stem maxpool on the int8 grid — exact: max commutes with the
+    monotone requant, so pooling after quantization equals quantizing the pooled
+    f32 tensor, at a quarter of the traffic."""
+    return lax.reduce_window(
+        x8, jnp.int8(-128), lax.max,
+        (1, window, window, 1), (1, stride, stride, 1),
+        [(0, 0), (pad, pad), (pad, pad), (0, 0)])
 
 
 def _requant(x_f32, a_scale):
@@ -221,5 +234,125 @@ def quantized_trunk_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
         out = nn.relu(o + identity)
         if name == blocks[-1][0]:
             return out.astype(out_dtype)  # conv map: no final requant round-trip
+        s_in = a[f"{name}.out"]
+        t8 = _requant(out, s_in)
+
+
+# ------------------------------------------------- torchvision ResNet (imagenet) --
+#
+# Same PTQ scheme applied to models/resnet.py's structure: 7×7/2 stem → maxpool →
+# stages of basic (2×3×3) or bottleneck (1×1,3×3/s,1×1) blocks with stride-2 convs
+# (not the CLIP avg-pool downsampling). The stem conv and shortcut convs stay
+# bf16; the stem output requantizes before the maxpool (exact — see
+# _max_pool_int8). Reference role: the frozen torchvision RN50/RN18 encoders of
+# thor_image_features.py:46-48.
+
+
+def _resnet_cbs(block: str):
+    return ("cb1", "cb2", "cb3") if block == "bottleneck" else ("cb1", "cb2")
+
+
+def calibrate_resnet_trunk(folded_params, stage_sizes: Sequence[int], block: str,
+                           x, dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+    p = folded_params
+    scales: Dict[str, jnp.ndarray] = {}
+
+    def record(name, t):
+        scales[name] = jnp.max(t).astype(jnp.float32) / _QMAX + 1e-30
+        return t
+
+    def cb(name, t, stride=1, relu=True):
+        sub = p
+        for part in name.split("/"):
+            sub = sub[part]
+        out = _conv(t.astype(dtype), jnp.asarray(sub["conv"]["kernel"], dtype),
+                    stride) + jnp.asarray(sub["conv"]["bias"], dtype)
+        return nn.relu(out) if relu else out
+
+    t = nn.relu(cb("stem", x, 2))
+    record("stem.out", t)  # pre-maxpool: the int8 graph pools on the int8 grid
+    t = nn.max_pool(t, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+    for name, stride in _block_names(stage_sizes):
+        if block == "bottleneck":
+            o = cb(f"{name}/cb1", t)
+            record(f"{name}/cb2.in", o)
+            o = cb(f"{name}/cb2", o, stride)
+            record(f"{name}/cb3.in", o)
+            o = cb(f"{name}/cb3", o, relu=False)
+        else:
+            o = cb(f"{name}/cb1", t, stride)
+            record(f"{name}/cb2.in", o)
+            o = cb(f"{name}/cb2", o, relu=False)
+        identity = t
+        if stride > 1 or t.shape[-1] != o.shape[-1]:
+            identity = cb(f"{name}/down", identity, stride, relu=False)
+        t = nn.relu(o + identity)
+        record(f"{name}.out", t)
+    return scales
+
+
+def quantize_resnet_trunk(folded_params, stage_sizes: Sequence[int], block: str,
+                          calibration_x) -> Dict[str, Any]:
+    act_scales = calibrate_resnet_trunk(folded_params, stage_sizes, block,
+                                        calibration_x)
+    q: Dict[str, Any] = {"act_scales": act_scales, "fp": {"stem": folded_params["stem"]}}
+    for name, _stride in _block_names(stage_sizes):
+        for cbname in _resnet_cbs(block):
+            sub = folded_params[name][cbname]["conv"]
+            q[f"{name}/{cbname}"] = dict(
+                _quantize_kernel(sub["kernel"]),
+                bias=jnp.asarray(sub["bias"], jnp.float32),
+            )
+        if "down" in folded_params[name]:
+            q["fp"][f"{name}/down"] = folded_params[name]["down"]
+    return q
+
+
+def quantized_resnet_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
+                           block: str, out_dtype=jnp.bfloat16):
+    """int8 torchvision-ResNet forward; mirrors quantized_trunk_apply."""
+    a = q["act_scales"]
+
+    def fp_conv(name, t, stride=1, relu=True):
+        sub = q["fp"][name]["conv"]
+        out = _conv(t.astype(jnp.bfloat16),
+                    jnp.asarray(sub["kernel"], jnp.bfloat16), stride)
+        out = out.astype(jnp.float32) + jnp.asarray(sub["bias"], jnp.float32)
+        return nn.relu(out) if relu else out
+
+    def qconv(sub, t8, in_scale, stride=1):
+        k = sub["kernel_q"]
+        if k.shape[0] == 1 and k.shape[1] == 1 and stride == 1:
+            out = jnp.einsum("nhwc,cd->nhwd", t8, k[0, 0],
+                             preferred_element_type=jnp.int32)
+        else:
+            out = _conv(t8, k, stride, pet=jnp.int32)
+        return out.astype(jnp.float32) * (in_scale * sub["w_scale"]) + sub["bias"]
+
+    t = fp_conv("stem", x, 2)
+    s_in = a["stem.out"]
+    t8 = _max_pool_int8(_requant(t, s_in))
+
+    blocks = list(_block_names(stage_sizes))
+    for name, stride in blocks:
+        if block == "bottleneck":
+            o = nn.relu(qconv(q[f"{name}/cb1"], t8, s_in))
+            s2 = a[f"{name}/cb2.in"]
+            o = nn.relu(qconv(q[f"{name}/cb2"], _requant(o, s2), s2, stride))
+            s3 = a[f"{name}/cb3.in"]
+            o = qconv(q[f"{name}/cb3"], _requant(o, s3), s3)
+        else:
+            o = nn.relu(qconv(q[f"{name}/cb1"], t8, s_in, stride))
+            s2 = a[f"{name}/cb2.in"]
+            o = qconv(q[f"{name}/cb2"], _requant(o, s2), s2)
+
+        if f"{name}/down" in q["fp"]:
+            identity = fp_conv(f"{name}/down", t8.astype(jnp.float32) * s_in,
+                               stride, relu=False)
+        else:
+            identity = t8.astype(jnp.float32) * s_in
+        out = nn.relu(o + identity)
+        if name == blocks[-1][0]:
+            return out.astype(out_dtype)
         s_in = a[f"{name}.out"]
         t8 = _requant(out, s_in)

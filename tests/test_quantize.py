@@ -51,3 +51,19 @@ def test_quantized_encode_deterministic(encs):
         np.testing.assert_array_equal(np.asarray(a[k], np.float32),
                                       np.asarray(b[k], np.float32))
 
+
+
+def test_quantized_imagenet_resnet_close_to_f32():
+    """int8 torchvision-family trunk (basic blocks, stride-2 convs, int8-grid
+    stem maxpool) stays within the 1e-3 cosine budget vs the f32 path."""
+    rng = np.random.RandomState(1)
+    frames = rng.randint(0, 256, (4, 96, 96, 3), np.uint8)
+    enc = build_encoder("imagenet_rn18", dtype=jnp.float32).fold_bn()
+    qenc = enc.quantize(frames[:2])
+    ref = enc.encode(frames)
+    out = qenc.encode(frames)
+    assert set(out) == {"imagenet_conv", "imagenet_avgpool"}
+    for k in ref:
+        d = cosine_distance(np.asarray(ref[k], np.float32),
+                            np.asarray(out[k], np.float32))
+        assert d < 1e-3, (k, d)

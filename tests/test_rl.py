@@ -172,3 +172,42 @@ def test_training_determinism_same_seed():
 
     a, b = run(), run()
     np.testing.assert_array_equal(a, b)
+
+
+def test_unroll_matches_per_step_policy():
+    """unroll_policy (batched features/heads + GRU-only scan) must match the
+    per-step __call__ path used during rollout collection — the recurrent-PPO
+    correctness contract (importance ratios at epoch 0 depend on it)."""
+    import numpy as np
+
+    from embodied_clip_tpu.models.policy import unroll_policy
+
+    T, B = 5, 4
+    pol = ActorCritic(num_actions=4, goal_kind="object_embed", num_goal_classes=6,
+                      hidden=32, visual_is_map=True)
+    rng = np.random.RandomState(0)
+    obs1 = {"visual": jnp.asarray(rng.randn(B, 7, 7, 16), jnp.float32),
+            "goal": jnp.asarray(rng.randint(0, 6, (B,))),
+            "prev_action": jnp.asarray(rng.randint(0, 5, (B,)))}
+    params = pol.init(jax.random.PRNGKey(0), obs1, pol.initial_state(B))["params"]
+
+    obs_seq = {"visual": jnp.asarray(rng.randn(T, B, 7, 7, 16), jnp.float32),
+               "goal": jnp.asarray(rng.randint(0, 6, (T, B))),
+               "prev_action": jnp.asarray(rng.randint(0, 5, (T, B)))}
+    done = jnp.asarray(rng.rand(T, B) < 0.3)
+    h0 = pol.initial_state(B)
+
+    logits, values, hT = unroll_policy(pol.apply, params, obs_seq, h0, done)
+
+    h = h0
+    ref_logits, ref_values = [], []
+    for t in range(T):
+        o = {k: v[t] for k, v in obs_seq.items()}
+        lg, vv, h = pol.apply({"params": params}, o, h, done[t])
+        ref_logits.append(lg)
+        ref_values.append(vv)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(jnp.stack(ref_logits)),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(values), np.asarray(jnp.stack(ref_values)),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hT), np.asarray(h), rtol=1e-5, atol=1e-5)

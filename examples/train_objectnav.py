@@ -63,6 +63,9 @@ def main():
         ppo=PPOConfig(lr=3e-4, epochs=4)), encode_fn=encode, mesh=mesh)
 
     params, opt, act = learner.init(jax.random.PRNGKey(1))
+    params, opt, act, m = learner.train_iteration(params, opt, act)  # compile
+    import jax as _jax
+    _jax.block_until_ready(m["loss"])
     t0 = time.time()
     for it in range(args.iters):
         params, opt, act, m = learner.train_iteration(params, opt, act)
@@ -71,6 +74,10 @@ def main():
             print(f"iter {it+1}: success={float(m['success']):.2f} "
                   f"spl={float(m['spl']):.2f} entropy={float(m['entropy']):.2f} "
                   f"({steps / (time.time() - t0):.0f} env-steps/s)")
+    _jax.block_until_ready(m["loss"])
+    steps = args.iters * args.rollout * args.env_batch
+    print(f"final: success={float(m['success']):.2f} "
+          f"{steps / (time.time() - t0):.0f} env-steps/s (post-compile)")
 
 
 if __name__ == "__main__":

@@ -33,3 +33,46 @@ def test_registered_experiment_trains(name, tmp_path):
     out = exp.train(output_dir=str(tmp_path))
     assert out["env_steps"] >= 64, (name, out)
     assert np.isfinite(out["loss"]), (name, out)
+
+
+PROBE_NAMES = sorted(n for n in _REGISTRY if n.startswith("probe_"))
+
+
+@pytest.fixture(scope="module")
+def probe_data_dir(tmp_path_factory):
+    # reuse the synthetic feature-store generator from the probing e2e suite
+    import json
+    import os
+
+    from test_probing_e2e import N_EVAL, N_TRAIN, W_REACH, _split_arrays
+
+    d = tmp_path_factory.mktemp("registry_probe_data")
+    rng = np.random.RandomState(3)
+    for split, n in [("train", N_TRAIN), ("val", N_EVAL), ("test", N_EVAL)]:
+        np.savez(os.path.join(d, f"thor_{split}.npz"), **_split_arrays(rng, n))
+    m = 128
+    feats = rng.randn(m, W_REACH.shape[0]).astype(np.float32)
+    names = [f"img{i:04d}" for i in range(m)]
+    np.savez(os.path.join(d, "reachable_image_features.npz"),
+             image_names=np.asarray(names),
+             clip_avgpool=feats, clip_attnpool=feats, imagenet_avgpool=feats)
+    reach = feats @ W_REACH > 0
+    for split in ("train", "val", "test"):
+        idx = rng.randint(0, m, 400)
+        objs = rng.randint(0, 8, 400)
+        triples = [[names[i], int(o), bool(reach[i, o])] for i, o in zip(idx, objs)]
+        with open(os.path.join(d, f"reachable_{split}.json"), "w") as f:
+            json.dump(triples, f)
+    return str(d)
+
+
+@pytest.mark.parametrize("name", PROBE_NAMES)
+def test_registered_probe_trains(name, probe_data_dir, tmp_path):
+    """Every probe_{prediction}_{embedding} registry entry runs fit→test as
+    registered (learning-rate gates live in test_probing_e2e; this pins the
+    registry wiring itself)."""
+    exp = get_experiment(name)
+    exp = dc.replace(exp, data_dir=probe_data_dir, max_epochs=2,
+                     log_dir=str(tmp_path / "logs"))
+    out = exp.train(output_dir=str(tmp_path / "ckpt"))
+    assert np.isfinite(out["test"]["loss"]), (name, out)

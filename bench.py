@@ -47,8 +47,11 @@ def main():
     if os.environ.get("BENCH_FOLD_BN", "1") == "1":
         enc = enc.fold_bn()
     if quant == "int8":
-        calib = np.random.RandomState(1).randint(0, 256, (32, 300, 300, 3), np.uint8)
-        enc = enc.quantize(calib)
+        # Calibrate activation scales on the structured golden parity frames —
+        # never synthetic noise, whose maxima mis-scale natural-image activations.
+        from embodied_clip_tpu.parity import golden_frames
+
+        enc = enc.quantize(golden_frames(n=32))
     if resize_dtype != "float32":
         import dataclasses
 

@@ -81,7 +81,33 @@ class ProbeExperiment(Experiment):
         test = trainer.test(dm)
         return {"val": val, "test": test}
 
-    evaluate = train
+    def evaluate(self, output_dir: str, ckpt: Optional[str] = None) -> dict:
+        """Eval-only pass: restore a checkpoint and score the test split. No
+        training step runs (reference eval flow: restore + trainer.test,
+        train.py:170-174). `ckpt` defaults to the best-val checkpoint that
+        `train` wrote under `output_dir`."""
+        import os
+
+        from embodied_clip_tpu.data.probing import ProbeDataModule
+        from embodied_clip_tpu.training.supervised import ProbeTrainConfig, ProbeTrainer
+
+        dm = ProbeDataModule(
+            self.data_dir, self.embedding_type, self.prediction_type, self.batch_size
+        ).setup()
+        trainer = ProbeTrainer(ProbeTrainConfig(
+            embedding_type=self.embedding_type, prediction_type=self.prediction_type,
+            lr=self.lr, batch_size=self.batch_size, max_epochs=self.max_epochs,
+            log_dir=None, ckpt_dir=None,
+        ))
+        if ckpt is None:
+            best = os.path.join(output_dir, "best")
+            if not os.path.isdir(best):
+                raise FileNotFoundError(
+                    f"--eval needs a checkpoint: none given and {best!r} absent")
+            ckpt = best
+        x0, _ = next(dm.batches("test", shuffle=False))
+        trainer.load(ckpt, x0)
+        return {"test": trainer.test(dm, use_best=False)}
 
 
 def _register_probe_grid():

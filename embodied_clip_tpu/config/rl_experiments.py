@@ -56,6 +56,12 @@ class NavRLExperiment(Experiment):
     hidden: int = 512
     lr: float = 3e-4
     ppo_epochs: int = 4
+    # PPO minibatched epochs + linear LR decay — the reference's habitat DD-PPO
+    # training surface (baselines_habitat.md:63-75: 2 epochs × 2 minibatches,
+    # use_linear_lr_decay). lr_decay_updates: 0 = constant LR; -1 = decay to 0
+    # over this run's total update count; >0 = explicit update horizon.
+    num_minibatches: int = 1
+    lr_decay_updates: int = 0
     encoder_dtype: str = "bfloat16"
     ckpt_every_steps: int = 250_000
     eval_episodes: int = 200
@@ -65,6 +71,15 @@ class NavRLExperiment(Experiment):
     # baselines_habitat.md:63-69). >1 builds a ('dp','mp') mesh: env batch /
     # rollout sharded over dp, params replicated, gradient psum over ICI.
     dp: int = 1
+
+    def _lr_decay_updates(self) -> int:
+        """Resolve the lr_decay_updates convention: -1 = linear decay to zero
+        over this run's update count (habitat's use_linear_lr_decay semantics,
+        baselines_habitat.md:63-75)."""
+        if self.lr_decay_updates == -1:
+            return max(1, self.total_env_steps
+                       // (self.rollout_len * self.env_batch))
+        return self.lr_decay_updates
 
     def _mesh(self):
         if self.dp <= 1:
@@ -116,6 +131,32 @@ class NavRLExperiment(Experiment):
             scratch_cnn=self.encoder is None and getattr(env, "frame_obs", False),
         )
 
+    def _calibration_frames(self) -> np.ndarray:
+        """Representative uint8 NHWC frames for int8 PTQ activation calibration.
+
+        Per-tensor max scales derived from synthetic noise mis-scale natural-image
+        activations (ADVICE r2; extract.py's first-real-frames recipe is the
+        contract) — so calibrate on the structured golden parity frames, topped up
+        with frames rendered by the fake backend's env when it renders frames.
+        """
+        from embodied_clip_tpu.parity import golden_frames
+
+        frames = [golden_frames(n=16)]
+        if self.backend == "fake" and self.task != "rearrange" \
+                and self.encoder is not None:
+            import jax
+
+            env = self._build_fake_env()
+            s, obs = env.reset(jax.random.PRNGKey(0), batch=8)
+            if "visual" in obs and obs["visual"].dtype == np.uint8 \
+                    and obs["visual"].ndim == 4:
+                v = np.asarray(obs["visual"])
+                h, w = frames[0].shape[1:3]
+                reps = (max(1, -(-h // v.shape[1])), max(1, -(-w // v.shape[2])))
+                v = np.tile(v, (1, reps[0], reps[1], 1))[:, :h, :w]
+                frames.append(v)
+        return np.concatenate(frames, axis=0)
+
     def _encode_fn(self):
         """uint8 frames → frozen conv feature map; None when training from scratch
         (or for the rearrange fake env, whose observations are symbolic maps)."""
@@ -130,13 +171,13 @@ class NavRLExperiment(Experiment):
         dtype = (jnp.bfloat16 if self.encoder_dtype in ("bfloat16", "int8")
                  else jnp.float32)
         enc = build_encoder(self.encoder, dtype=dtype).fold_bn()
-        if self.encoder_dtype == "int8" and self.encoder.startswith("clip_rn"):
-            # int8-trunk serving config (see ops/quantize.py); noise calibration
-            # is within ~2e-4 conv-map cosine of f32 (STATUS.md)
-            import numpy as np
-
-            enc = enc.quantize(np.random.RandomState(0).randint(
-                0, 256, (16, 300, 300, 3), np.uint8))
+        if self.encoder_dtype == "int8":
+            # int8-trunk serving config (see ops/quantize.py), for both CLIP and
+            # torchvision trunks. Activation scales must come from representative
+            # frames, never synthetic noise (noise maxima mis-scale natural-image
+            # activations; ADVICE r2): calibrate on frames rendered by the actual
+            # env backend, topped up with the golden parity frames.
+            enc = enc.quantize(self._calibration_frames())
         fn = enc.encode_fn()
         variables = enc.variables
         key = "clip_conv" if self.encoder.startswith("clip") else "imagenet_conv"
@@ -192,7 +233,9 @@ class NavRLExperiment(Experiment):
         else:
             learner = DDPPOLearner(env, policy, DDPPOConfig(
                 rollout_len=self.rollout_len, env_batch=self.env_batch,
-                ppo=PPOConfig(lr=self.lr, epochs=self.ppo_epochs)),
+                num_minibatches=self.num_minibatches,
+                ppo=PPOConfig(lr=self.lr, epochs=self.ppo_epochs,
+                              lr_decay_updates=self._lr_decay_updates())),
                 encode_fn=encode, mesh=self._mesh())
         # goal mapping for the fake env: patch collect-time goal through env wrapper
         if goal_map is not None:
@@ -344,7 +387,9 @@ class NavRLExperiment(Experiment):
             else:
                 learner = HostPPOLearner(venv, policy, DDPPOConfig(
                     rollout_len=self.rollout_len, env_batch=venv.n,
-                    ppo=PPOConfig(lr=self.lr, epochs=self.ppo_epochs)),
+                    num_minibatches=self.num_minibatches,
+                    ppo=PPOConfig(lr=self.lr, epochs=self.ppo_epochs,
+                                  lr_decay_updates=self._lr_decay_updates())),
                     encode_fn=encode, mesh=self._mesh())
             params, opt_state = learner.init(key)
             ckpts = StepCheckpointer(os.path.join(output_dir, self.name), prefix="exp")
@@ -436,6 +481,7 @@ class NavRLExperiment(Experiment):
             "success": float(np.mean([e["success"] for e in episodes])),
             "spl": float(np.mean([e["spl"] for e in episodes])),
             "episodes": len(episodes),
+            "episodes_requested": self.eval_episodes,
             "metrics_file": path,
         }
         overall["per_object_type"] = {t: {"success": s, "spl": p}
@@ -480,13 +526,17 @@ _reg("zeroshot_objectnav_robothor_rgb_clipresnet50gru_ddppo",
 _reg("zeroshot_objectnav_robothor_rgb_clipresnet50gru_ddppo_eval",
      task="objectnav", encoder="clip_rn50", zeroshot=True)
 
-# Habitat grid.
+# Habitat grid — with the reference's habitat DD-PPO training surface
+# (baselines_habitat.md:63-75): 2 PPO epochs × 2 minibatches, linear LR decay
+# over the run.
+_HABITAT_PPO = dict(ppo_epochs=2, num_minibatches=2, lr_decay_updates=-1)
 for task in ("objectnav", "pointnav"):
     for enc_tag in ("clip", "imagenet"):
         _reg(f"ddppo_{task}_rgb_{enc_tag}",
-             task=task, encoder=_ENCODER_BY_NAME[enc_tag])
-_reg("ddppo_objectnav_rgb", task="objectnav", encoder=None)    # scratch
-_reg("ddppo_objectnav_rgbd", task="objectnav", encoder=None, rgbd=True)  # scratch + depth
+             task=task, encoder=_ENCODER_BY_NAME[enc_tag], **_HABITAT_PPO)
+_reg("ddppo_objectnav_rgb", task="objectnav", encoder=None, **_HABITAT_PPO)
+_reg("ddppo_objectnav_rgbd", task="objectnav", encoder=None, rgbd=True,
+     **_HABITAT_PPO)  # scratch + depth
 
 # iTHOR Rearrangement 1-phase DAgger (fake backend: pick→carry→place env).
 _reg("one_phase_rgb_clipresnet50_dagger", task="rearrange", algo="dagger",

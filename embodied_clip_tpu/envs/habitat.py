@@ -83,7 +83,9 @@ class HabitatNavEnv(HostEnv):
         self._t = 0
         m = self.env.get_metrics()
         self._start_geodesic = max(float(m.get("distance_to_goal", 1.0)), 1e-3)
-        self._prev_distance = float(m.get("distance_to_goal", 0.0))
+        # Same fallback as _start_geodesic: if the metric is absent at reset, the
+        # first step must not see a spurious (0 - d) geodesic delta.
+        self._prev_distance = float(m.get("distance_to_goal", self._start_geodesic))
         return self._obs(obs)
 
     def step(self, action: int) -> Tuple[Dict[str, np.ndarray], float, bool, Dict[str, Any]]:

@@ -12,7 +12,10 @@ Observations: {"visual": current RGB, "goal_visual": goal-state RGB (same pose),
 "goal": 0}. Actions: navigation + PickupMisplaced / PutHeld / OpenTarget /
 CloseTarget / Done (the upstream discrete interaction set, with object selection
 resolved to the nearest eligible visible instance as the upstream pickup-by-type
-actions do). Metrics per the upstream task: success (everything restored),
+actions do). PutHeld targets a receptacle near the held object's goal pose via
+PutObject (THOR's PutObject takes the receptacle's objectId) and otherwise
+degrades to DropHandObject — the drop-with-snap-adjacent semantics of the
+upstream task's DropHeldObjectWithSnap. Metrics per the upstream task: success (everything restored),
 prop_fixed (fraction of initially-misplaced objects restored), num_newly_misplaced;
 an object counts as "in goal pose" when within pos_threshold meters and its openness
 within open_threshold (a distance simplification of upstream's IoU≥0.5 pose match —
@@ -152,16 +155,28 @@ class THORRearrangeEnv(HostEnv):
             .metadata.get("actionReturn") or []
         pickupable = [o for o in objs if o.get("pickupable")]
         self.rng.shuffle(pickupable)
-        poses = []
-        for o in pickupable[: self.num_misplaced]:
-            if not reach:
-                break
-            p = self.rng.choice(reach)
-            poses.append(dict(objectName=o["objectId"],
-                              position=dict(x=p["x"], y=o["position"]["y"], z=p["z"]),
-                              rotation=dict(x=0, y=0, z=0)))
-        if poses:
-            self.controller.step(action="SetObjectPoses", objectPoses=poses)
+        displaced = {o["objectId"] for o in pickupable[: self.num_misplaced]} \
+            if reach else set()
+        if displaced:
+            # THOR's SetObjectPoses keys entries by the object's `name` metadata
+            # field and DISABLES any pickupable/moveable object missing from the
+            # list — so every pickupable object gets a pose, moved or not (the
+            # upstream unshuffle-phase contract).
+            poses = []
+            for o in pickupable:
+                if o["objectId"] in displaced:
+                    p = self.rng.choice(reach)
+                    pos = dict(x=p["x"], y=o["position"]["y"], z=p["z"])
+                else:
+                    pos = dict(o["position"])
+                poses.append(dict(objectName=o["name"], position=pos,
+                                  rotation=dict(o.get("rotation")
+                                                or dict(x=0, y=0, z=0))))
+            ev = self.controller.step(action="SetObjectPoses", objectPoses=poses)
+            if not ev.metadata["lastActionSuccess"]:
+                raise RuntimeError(
+                    "SetObjectPoses failed during shuffle: "
+                    f"{ev.metadata.get('errorMessage', '')!r}")
         openable = [o for o in self._objects() if o.get("openable")]
         self.rng.shuffle(openable)
         for o in openable[: self.num_toggled_open]:
@@ -227,9 +242,23 @@ class THORRearrangeEnv(HostEnv):
                     self._episode["held"] = target["objectId"]
         elif name == "PutHeld":
             if self._episode["held"] is not None:
-                ev = self.controller.step(action="PutObject",
-                                          objectId=self._episode["held"])
-                if not ev.metadata["lastActionSuccess"]:
+                # THOR's PutObject takes the RECEPTACLE's objectId. Putting the
+                # held object anywhere but near its goal pose can't restore it,
+                # so only receptacles within pos_threshold of the goal qualify;
+                # otherwise drop at the hand pose (one step ahead).
+                goal = self._episode["goal_poses"][self._episode["held"]]["position"]
+                recep = self._nearest(
+                    [o for o in self._objects()
+                     if o.get("receptacle")
+                     and math.hypot(o["position"]["x"] - goal["x"],
+                                    o["position"]["z"] - goal["z"])
+                     <= self.pos_threshold]
+                )
+                ev = None
+                if recep is not None:
+                    ev = self.controller.step(action="PutObject",
+                                              objectId=recep["objectId"])
+                if ev is None or not ev.metadata["lastActionSuccess"]:
                     ev = self.controller.step(action="DropHandObject")
                 if ev.metadata["lastActionSuccess"]:
                     self._episode["held"] = None

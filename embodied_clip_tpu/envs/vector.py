@@ -64,28 +64,93 @@ class VectorEnv:
 
     def __init__(self, env_fns: Sequence[Callable], frame_shape: Optional[Tuple[int, int, int]] = None,
                  cutoff_fraction: float = 1.0, cutoff_timeout_s: float = 30.0,
-                 start_method: str = "fork"):
+                 respawn_timeout_s: float = 60.0, start_method: str = "fork"):
         self.n = len(env_fns)
         self.cutoff_fraction = cutoff_fraction
         self.cutoff_timeout_s = cutoff_timeout_s
-        ctx = mp.get_context(start_method)
-        self.remotes, worker_remotes = zip(*[ctx.Pipe() for _ in range(self.n)])
+        # distinct from the step cutoff: a worker slower than the cutoff is a
+        # straggler; one silent past THIS deadline is declared dead and respawned
+        self.respawn_timeout_s = respawn_timeout_s
+        self._env_fns = list(env_fns)
+        self._ctx = mp.get_context(start_method)
         self.ring = None
-        ring_info = None
+        self._ring_info = None
         if frame_shape is not None and frame_ring_available():
             self.ring = FrameRing.create(self.n, frame_shape)
-            ring_info = self.ring.attach_info()
-        self.procs = []
-        for i, (fn, wr) in enumerate(zip(env_fns, worker_remotes)):
-            p = ctx.Process(target=_worker, args=(wr, fn, ring_info, i), daemon=True)
-            p.start()
-            self.procs.append(p)
+            self._ring_info = self.ring.attach_info()
+        self.remotes: List = [None] * self.n
+        self.procs: List = [None] * self.n
+        for i in range(self.n):
+            self._spawn(i)
         self.num_actions = None
         self._last_obs: List[Optional[Dict]] = [None] * self.n
+        self._straggler_pending: List[int] = []
+        self.respawn_count = 0
+
+    def _spawn(self, i: int) -> None:
+        parent, child = self._ctx.Pipe()
+        p = self._ctx.Process(
+            target=_worker, args=(child, self._env_fns[i], self._ring_info, i),
+            daemon=True,
+        )
+        p.start()
+        self.remotes[i] = parent
+        self.procs[i] = p
+
+    def _respawn(self, i: int) -> None:
+        """Replace a dead/hung worker with a fresh process (elastic recovery,
+        SURVEY.md §5 failure-detection row). The fresh env resets; its first
+        transition after respawn is already masked invalid by the caller."""
+        try:
+            self.procs[i].terminate()
+        except Exception:
+            pass
+        self.procs[i].join(timeout=2)
+        try:
+            self.remotes[i].close()
+        except Exception:
+            pass
+        self._spawn(i)
+        self.respawn_count += 1
+        self.remotes[i].send(("reset", None))
+        self._last_obs[i] = self._recv_obs(i, "obs")
+
+    def _worker_dead(self, i: int) -> bool:
+        return not self.procs[i].is_alive() and not self.remotes[i].poll(0)
+
+    def _drain_stragglers(self) -> None:
+        """Collect (or give up on) replies still owed from a previous cutoff.
+        Non-blocking with a deadline: a dead or hung worker is respawned instead
+        of hanging the pool (VERDICT r2 weak #6)."""
+        pending = list(self._straggler_pending)
+        self._straggler_pending = []
+        deadline = time.monotonic() + self.respawn_timeout_s
+        for i in pending:
+            got = False
+            while time.monotonic() < deadline:
+                if self.remotes[i].poll(0.005):
+                    try:
+                        _tag, payload = self.remotes[i].recv()
+                    except (EOFError, OSError):
+                        break
+                    obs = payload[0]
+                    if self.ring is not None:
+                        obs = dict(obs)
+                        obs["visual"] = self.ring.read(i)
+                    self._last_obs[i] = obs
+                    got = True
+                    break
+                if self._worker_dead(i):
+                    break
+            if not got:
+                self._respawn(i)
 
     # -------------------------------------------------------------------- lifecycle
 
     def reset(self) -> Dict[str, np.ndarray]:
+        # Drain replies still owed from a previous cutoff first — otherwise a
+        # stale step reply would be misread as the reset observation.
+        self._drain_stragglers()
         for r in self.remotes:
             r.send(("reset", None))
         obs = [self._recv_obs(i, "obs") for i in range(self.n)]
@@ -108,16 +173,12 @@ class VectorEnv:
     def step_async(self, actions: np.ndarray) -> None:
         # Drain any straggler replies from a previous cutoff FIRST — otherwise a stale
         # reply would be mistaken for the response to the action sent below.
-        for i in getattr(self, "_straggler_pending", []):
-            _tag, payload = self.remotes[i].recv()
-            obs = payload[0]
-            if self.ring is not None:
-                obs = dict(obs)
-                obs["visual"] = self.ring.read(i)
-            self._last_obs[i] = obs
-        self._straggler_pending = []
+        self._drain_stragglers()
         for r, a in zip(self.remotes, actions):
-            r.send(("step", int(a)))
+            try:
+                r.send(("step", int(a)))
+            except (BrokenPipeError, OSError):
+                pass  # dead worker: step_wait marks it invalid, then it respawns
 
     def step_wait(self):
         """Gather transitions; with cutoff_fraction < 1, return once enough workers
@@ -130,13 +191,23 @@ class VectorEnv:
             progressed = False
             for i in list(pending):
                 if self.remotes[i].poll(0.001):
-                    tag, payload = self.remotes[i].recv()
+                    try:
+                        tag, payload = self.remotes[i].recv()
+                    except (EOFError, OSError):
+                        pending.discard(i)  # died mid-send → straggler path
+                        progressed = True
+                        continue
                     obs, reward, done, info = payload
                     if self.ring is not None:
                         obs = dict(obs)
                         obs["visual"] = self.ring.read(i)
                     results[i] = (obs, reward, done, info)
                     self._last_obs[i] = obs
+                    pending.discard(i)
+                    progressed = True
+                elif self._worker_dead(i):
+                    # Fail fast: no reply will ever come; route through the
+                    # straggler path so the drain respawns it.
                     pending.discard(i)
                     progressed = True
             if len(results) >= need and self.cutoff_fraction < 1.0:

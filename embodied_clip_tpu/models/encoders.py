@@ -136,9 +136,13 @@ class FrozenEncoder:
     def quantize(self, calibration_frames) -> "FrozenEncoder":
         """Return an int8-trunk encoder (ops/quantize.py): conv traffic halved and
         MXU rate doubled on the HBM-bound ResNet trunks (CLIP and torchvision
-        families); stem, shortcut convs and attnpool stay bf16/f32. Activation
-        scales calibrate on the given uint8 frames. Fidelity is a measured trade
-        vs the bf16 path (STATUS.md)."""
+        families); stem, shortcut convs and attnpool stay bf16/f32. Fidelity is a
+        measured trade vs the bf16 path (STATUS.md).
+
+        Contract: `calibration_frames` must be REPRESENTATIVE uint8 frames (real
+        observations, or parity.golden_frames) — never synthetic noise. The
+        per-tensor activation scales are maxima over these frames; noise maxima
+        sit well inside natural-image activation ranges and clip real inputs."""
         from embodied_clip_tpu.models.clip_resnet import CLIP_RESNET_CONFIGS
         from embodied_clip_tpu.ops.quantize import (
             quantize_resnet_trunk, quantize_trunk,

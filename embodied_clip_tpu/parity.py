@@ -92,12 +92,19 @@ def verify_encoder_parity(
         frames = z["__frames__"]
         ref = {k: z[k] for k in z.files if not k.startswith("__")}
 
-    jdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    if dtype not in ("float32", "bfloat16", "int8"):
+        raise ValueError(f"unsupported parity dtype {dtype!r}")
+    # int8 runs the actual serving graph: bf16 trunk, BN folded, int8 PTQ
+    # calibrated on the capture's own frames — so "pass" certifies the graph
+    # that bench.py / extract --dtype int8 really execute.
+    jdt = jnp.float32 if dtype == "float32" else jnp.bfloat16
     enc = build_encoder(encoder_name, dtype=jdt, torch_checkpoint=torch_checkpoint)
     if variables_dir is not None:
         from embodied_clip_tpu.utils.checkpoint import restore_pytree
 
         enc.variables = restore_pytree(variables_dir, enc.variables)
+    if dtype == "int8":
+        enc = enc.fold_bn().quantize(frames)
     ours = {k: np.asarray(v, np.float32) for k, v in enc.encode(frames).items()}
 
     per_key = {}

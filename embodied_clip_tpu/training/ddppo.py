@@ -36,6 +36,30 @@ class DDPPOConfig:
     ppo: PPOConfig = dataclasses.field(default_factory=PPOConfig)
 
 
+def iter_minibatches(m: int, rollout: Rollout, advantages, returns):
+    """Split a (T, B) rollout into m contiguous env-slice minibatches (habitat
+    DD-PPO's recurrent generator shape: whole sequences, sliced over envs)."""
+    if m <= 1:
+        yield rollout, advantages, returns
+        return
+    b = rollout.actions.shape[1]
+    size = b // m
+    for i in range(m):
+        sl = slice(i * size, (i + 1) * size)
+        mb = Rollout(
+            obs=jax.tree.map(lambda x: x[:, sl], rollout.obs),
+            is_start=rollout.is_start[:, sl],
+            actions=rollout.actions[:, sl],
+            log_probs=rollout.log_probs[:, sl],
+            values=rollout.values[:, sl],
+            rewards=rollout.rewards[:, sl],
+            dones=rollout.dones[:, sl],
+            h0=rollout.h0[sl],
+            valid=None if rollout.valid is None else rollout.valid[:, sl],
+        )
+        yield mb, advantages[:, sl], returns[:, sl]
+
+
 class DDPPOLearner:
     """Owns the jitted train step; state (params/opt/env) lives in caller-visible
     pytrees so checkpoint/resume is trivial."""
@@ -85,26 +109,8 @@ class DDPPOLearner:
     # ------------------------------------------------------------------ train step
 
     def _minibatches(self, rollout: Rollout, advantages, returns):
-        m = self.cfg.num_minibatches
-        if m <= 1:
-            yield rollout, advantages, returns
-            return
-        b = rollout.actions.shape[1]
-        size = b // m
-        for i in range(m):
-            sl = slice(i * size, (i + 1) * size)
-            mb = Rollout(
-                obs=jax.tree.map(lambda x: x[:, sl], rollout.obs),
-                is_start=rollout.is_start[:, sl],
-                actions=rollout.actions[:, sl],
-                log_probs=rollout.log_probs[:, sl],
-                values=rollout.values[:, sl],
-                rewards=rollout.rewards[:, sl],
-                dones=rollout.dones[:, sl],
-                h0=rollout.h0[sl],
-                valid=None if rollout.valid is None else rollout.valid[:, sl],
-            )
-            yield mb, advantages[:, sl], returns[:, sl]
+        return iter_minibatches(self.cfg.num_minibatches, rollout, advantages,
+                                returns)
 
     def _train_iteration_impl(self, params, opt_state, act: ActState):
         cfg = self.cfg
@@ -113,7 +119,7 @@ class DDPPOLearner:
         )
         advantages, returns = compute_gae(
             rollout.rewards, rollout.values, rollout.dones, last_value,
-            cfg.ppo.gamma, cfg.ppo.gae_lambda,
+            cfg.ppo.gamma, cfg.ppo.gae_lambda, valid=rollout.valid,
         )
 
         loss_metrics = None

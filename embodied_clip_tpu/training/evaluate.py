@@ -22,12 +22,20 @@ __all__ = ["evaluate_policy", "write_metrics_json", "compute_scores"]
 
 
 def evaluate_policy(env, apply_fn, params, key, num_episodes: int, hidden: int,
-                    env_batch: int = 32, max_steps_total: int = 4096,
+                    env_batch: int = 32, max_steps_total: Optional[int] = None,
                     deterministic: bool = True,
                     encode_fn: Optional[Callable] = None,
                     goal_map_fn: Optional[Callable] = None,
                     class_names: Optional[Sequence[str]] = None) -> List[Dict]:
-    """Run until `num_episodes` episodes finish; returns per-episode records."""
+    """Run until `num_episodes` episodes finish; returns per-episode records.
+
+    `max_steps_total=None` sizes the step budget from the request itself —
+    enough scan steps for every requested episode to run a full horizon with 4×
+    slack — so a slow-terminating policy cannot silently under-deliver episodes
+    (VERDICT r2 weak #8). If the budget is still exhausted short of the request
+    (explicit small `max_steps_total`, or a policy that never terminates), a
+    loud warning reports the shortfall and the caller sees it in len(result).
+    """
 
     def policy_obs(obs, prev_action):
         o = dict(obs)
@@ -39,6 +47,10 @@ def evaluate_policy(env, apply_fn, params, key, num_episodes: int, hidden: int,
         return o
 
     chunk = 128
+    if max_steps_total is None:
+        horizon = int(getattr(env, "max_steps", 512))
+        per_batch = -(-num_episodes // max(env_batch, 1))  # episodes each slot owes
+        max_steps_total = max(4096, 4 * per_batch * horizon)
 
     @jax.jit
     def run_chunk(params, carry):
@@ -88,6 +100,14 @@ def evaluate_policy(env, apply_fn, params, key, num_episodes: int, hidden: int,
                 })
                 if len(episodes) >= num_episodes:
                     break
+    if len(episodes) < num_episodes:
+        import warnings
+
+        warnings.warn(
+            f"evaluate_policy delivered {len(episodes)}/{num_episodes} episodes "
+            f"before exhausting max_steps_total={max_steps_total}; metrics "
+            "aggregates cover only the completed episodes", RuntimeWarning,
+            stacklevel=2)
     return episodes[:num_episodes]
 
 

@@ -17,7 +17,7 @@ from typing import Callable, Dict, Optional, Tuple
 import jax
 import optax
 
-from embodied_clip_tpu.training.ddppo import DDPPOConfig
+from embodied_clip_tpu.training.ddppo import DDPPOConfig, iter_minibatches
 from embodied_clip_tpu.training.host_rollout import HostRolloutCollector
 from embodied_clip_tpu.training.ppo import Rollout, compute_gae, ppo_loss
 
@@ -33,9 +33,13 @@ class HostPPOLearner:
         self.cfg = cfg
         self.mesh = mesh
         self.collector = HostRolloutCollector(venv, policy, encode_fn, goal_map_fn)
+        if cfg.ppo.lr_decay_updates > 0:
+            lr = optax.linear_schedule(cfg.ppo.lr, 0.0, cfg.ppo.lr_decay_updates)
+        else:
+            lr = cfg.ppo.lr
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.ppo.max_grad_norm),
-            optax.adam(cfg.ppo.lr),
+            optax.adam(lr),
         )
         self._update = jax.jit(self._update_impl, donate_argnums=(0, 1))
 
@@ -66,11 +70,13 @@ class HostPPOLearner:
         )
         metrics = None
         for _ in range(cfg.epochs):
-            (loss, metrics), grads = jax.value_and_grad(ppo_loss, has_aux=True)(
-                params, self.policy.apply, rollout, advantages, returns, cfg
-            )
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            for mb, adv, ret in iter_minibatches(
+                    self.cfg.num_minibatches, rollout, advantages, returns):
+                (loss, metrics), grads = jax.value_and_grad(ppo_loss, has_aux=True)(
+                    params, self.policy.apply, mb, adv, ret, cfg
+                )
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
     def train_iteration(self, params, opt_state) -> Tuple[dict, optax.OptState, Dict]:

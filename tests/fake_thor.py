@@ -14,16 +14,21 @@ import math
 
 import numpy as np
 
-# Default scene: a 3m x 3m room, objects on a known layout.
+# Default scene: a 3m x 3m room, objects on a known layout. As in real THOR,
+# `name` (the asset instance name poses are keyed by) differs from `objectId`.
 DEFAULT_OBJECTS = [
-    dict(objectType="Mug", objectId="Mug|1", position=dict(x=1.0, y=0.9, z=2.0),
-         pickupable=True, openable=False, isOpen=False),
-    dict(objectType="Laptop", objectId="Laptop|1", position=dict(x=2.5, y=0.7, z=0.5),
-         pickupable=True, openable=True, isOpen=False),
-    dict(objectType="Apple", objectId="Apple|1", position=dict(x=0.25, y=0.9, z=0.25),
-         pickupable=True, openable=False, isOpen=False),
-    dict(objectType="Fridge", objectId="Fridge|1", position=dict(x=2.75, y=0.0, z=2.75),
-         pickupable=False, openable=True, isOpen=False),
+    dict(objectType="Mug", objectId="Mug|1", name="Mug_a1",
+         position=dict(x=1.0, y=0.9, z=2.0),
+         pickupable=True, openable=False, isOpen=False, receptacle=False),
+    dict(objectType="Laptop", objectId="Laptop|1", name="Laptop_b2",
+         position=dict(x=2.5, y=0.7, z=0.5),
+         pickupable=True, openable=True, isOpen=False, receptacle=False),
+    dict(objectType="Apple", objectId="Apple|1", name="Apple_c3",
+         position=dict(x=0.25, y=0.9, z=0.25),
+         pickupable=True, openable=False, isOpen=False, receptacle=False),
+    dict(objectType="Fridge", objectId="Fridge|1", name="Fridge_d4",
+         position=dict(x=2.75, y=0.0, z=2.75),
+         pickupable=False, openable=True, isOpen=False, receptacle=True),
 ]
 
 
@@ -150,12 +155,21 @@ class FakeController:
             self.horizon += -30.0 if a == "LookUp" else 30.0
             return self._event()
         if a == "SetObjectPoses":
-            by_id = {o["objectId"]: o for o in self.objects}
+            # Real THOR semantics: poses are keyed by the object's `name` metadata
+            # field (NOT objectId); a pose naming an unknown object fails the
+            # action; pickupable/moveable objects absent from the list are
+            # disabled (removed from the scene).
+            by_name = {o["name"]: o for o in self.objects}
+            posed = set()
             for pose in kwargs["objectPoses"]:
-                # THOR keys poses by objectName; the fixture accepts objectId too.
-                oid = pose.get("objectName") or pose.get("objectId")
-                if oid in by_id:
-                    by_id[oid]["position"] = dict(pose["position"])
+                nm = pose.get("objectName")
+                if nm not in by_name:
+                    return self._event(success=False,
+                                       error=f"no object named {nm!r}")
+                by_name[nm]["position"] = dict(pose["position"])
+                posed.add(nm)
+            self.objects = [o for o in self.objects
+                            if not o["pickupable"] or o["name"] in posed]
             return self._event()
         if a == "PickupObject":
             oid = kwargs.get("objectId")
@@ -166,7 +180,24 @@ class FakeController:
                     self.held = oid
                     return self._event()
             return self._event(success=False, error="no such object")
-        if a in ("PutObject", "DropHandObject"):
+        if a == "PutObject":
+            # Real THOR semantics: objectId names the target RECEPTACLE, which
+            # must be visible; the held object lands on it.
+            if self.held is None:
+                return self._event(success=False, error="nothing held")
+            recep = next((o for o in self.objects
+                          if o["objectId"] == kwargs.get("objectId")), None)
+            if recep is None or not recep.get("receptacle") \
+                    or not self._visible(recep):
+                return self._event(success=False, error="bad receptacle")
+            for obj in self.objects:
+                if obj["objectId"] == self.held:
+                    obj["position"] = dict(x=recep["position"]["x"],
+                                           y=obj["position"]["y"],
+                                           z=recep["position"]["z"])
+            self.held = None
+            return self._event()
+        if a == "DropHandObject":
             if self.held is None:
                 return self._event(success=False, error="nothing held")
             for obj in self.objects:

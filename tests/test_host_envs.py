@@ -56,6 +56,63 @@ def test_vector_env_straggler_cutoff_flags():
         venv.close()
 
 
+def test_vector_env_worker_death_recovery():
+    """Kill a worker mid-rollout: the pool must not hang, must mask that index
+    invalid, respawn the worker, and return to all-valid steps (VERDICT r2
+    next #8; SURVEY.md §5 elastic-recovery row)."""
+    venv = _make_venv(3, cutoff_timeout_s=3.0)
+    try:
+        venv.reset()
+        venv.step(np.array([0, 0, 0]))
+        venv.procs[1].kill()
+        venv.procs[1].join(timeout=5)
+        obs, rewards, dones, infos, valid = venv.step(np.array([1, 1, 1]))
+        assert valid[0] and valid[2]
+        assert not valid[1]
+        assert obs["visual"].shape == (3, 56, 56, 3)  # stale obs repeated
+        # next step drains + respawns; pool is whole again
+        obs, _, _, _, valid = venv.step(np.array([2, 2, 2]))
+        assert venv.respawn_count == 1
+        assert venv.procs[1].is_alive()
+        assert valid.all()
+    finally:
+        venv.close()
+
+
+def test_vector_env_reset_drains_pending_stragglers():
+    """A reset() issued right after a cutoff must not misread the straggler's
+    stale step reply as the reset observation (VERDICT r2 weak #6)."""
+    import time
+
+    class SlowThirdEnv(HostGridNav):
+        calls = 0
+
+        def step(self, a):
+            type(self).calls += 1
+            if type(self).calls % 3 == 0:
+                time.sleep(0.4)
+            return super().step(a)
+
+    fns = [lambda i=i: (SlowThirdEnv if i == 2 else HostGridNav)(size=5, seed=i)
+           for i in range(3)]
+    venv = VectorEnv(fns, frame_shape=(56, 56, 3), cutoff_fraction=0.6,
+                     cutoff_timeout_s=0.05)
+    try:
+        venv.reset()
+        for _ in range(6):  # provoke cutoffs leaving pending stragglers
+            venv.step(np.zeros(3, np.int64))
+        obs = venv.reset()
+        assert obs["visual"].shape == (3, 56, 56, 3)
+        # after reset every worker answers its own reset message: a full-budget
+        # step is all-valid and no respawn was needed (worker was alive)
+        venv.cutoff_timeout_s = 5.0
+        venv.cutoff_fraction = 1.0
+        _, _, _, _, valid = venv.step(np.zeros(3, np.int64))
+        assert valid.all()
+    finally:
+        venv.close()
+
+
 def test_host_rollout_collection():
     venv = _make_venv(2)
     try:

@@ -285,3 +285,50 @@ def test_habitat_nav_reward_formula():
     assert HabitatNavEnv.nav_reward(1.0, 1.4, 0.0) == pytest.approx(-0.01 - 0.4)
     # success adds the bonus on top
     assert HabitatNavEnv.nav_reward(0.4, 0.1, 1.0) == pytest.approx(-0.01 + 0.3 + 2.5)
+
+
+def test_habitat_configs_carry_reference_knobs_and_minibatch_path_runs(tmp_path):
+    """The reference's habitat DD-PPO trains with 2 epochs x 2 minibatches and
+    linear LR decay (baselines_habitat.md:63-75); the registered ddppo_* configs
+    must construct with those values, and the minibatched update path must
+    actually run (VERDICT r2 next #7)."""
+    import dataclasses as _dc
+
+    from embodied_clip_tpu.config.experiments import get_experiment
+
+    for name in ("ddppo_objectnav_rgb_clip", "ddppo_pointnav_rgb_imagenet",
+                 "ddppo_objectnav_rgb", "ddppo_objectnav_rgbd"):
+        exp = get_experiment(name)
+        assert exp.ppo_epochs == 2 and exp.num_minibatches == 2, name
+        assert exp.lr_decay_updates == -1, name
+        assert exp._lr_decay_updates() == exp.total_env_steps // (
+            exp.rollout_len * exp.env_batch)
+
+    exp = get_experiment("ddppo_objectnav_rgb")
+    exp = _dc.replace(exp, total_env_steps=64, rollout_len=4, env_batch=8,
+                      ckpt_every_steps=10_000, hidden=32)
+    out = exp.train(output_dir=str(tmp_path))
+    assert out["env_steps"] >= 64 and np.isfinite(out["loss"])
+
+
+def test_minibatched_update_matches_manual_slices():
+    """iter_minibatches covers the whole batch in contiguous env slices with no
+    overlap, and valid masks slice along."""
+    from embodied_clip_tpu.training.ddppo import iter_minibatches
+    from embodied_clip_tpu.training.ppo import Rollout
+
+    T, B = 3, 8
+    r = np.arange(T * B, dtype=np.float32).reshape(T, B)
+    roll = Rollout(obs={"x": r}, is_start=r > 0, actions=r.astype(np.int32),
+                   log_probs=r, values=r, rewards=r, dones=r > 1e9,
+                   h0=np.arange(B, dtype=np.float32), valid=r < 1e9)
+    adv, ret = r + 1, r + 2
+    mbs = list(iter_minibatches(4, roll, adv, ret))
+    assert len(mbs) == 4
+    cols = np.concatenate([mb.actions for mb, _, _ in mbs], axis=1)
+    np.testing.assert_array_equal(cols, roll.actions)
+    for mb, a, rr in mbs:
+        assert mb.actions.shape == (T, B // 4)
+        assert mb.h0.shape == (B // 4,)
+        assert mb.valid.shape == (T, B // 4)
+        np.testing.assert_array_equal(a, mb.values + 1)

@@ -64,6 +64,36 @@ def test_expert_restores_scene():
     assert info["num_newly_misplaced"] == 0.0
 
 
+def test_shuffle_poses_keyed_by_name_cover_all_pickupables():
+    # Real THOR keys SetObjectPoses by the object's `name` metadata field and
+    # disables pickupables missing from the list — the env must send every
+    # pickupable's pose, keyed by name, and none may vanish from the scene.
+    env = make_env()
+    env.reset()
+    calls = [kw for c, kw in env.controller.calls if c == "SetObjectPoses"]
+    assert calls, "shuffle never issued SetObjectPoses"
+    names = {p["objectName"] for p in calls[0]["objectPoses"]}
+    pickup_names = {o["name"] for o in env.controller._template
+                    if o["pickupable"]}
+    assert names == pickup_names
+    live = {o["name"] for o in env.controller.objects}
+    assert pickup_names <= live, "a pickupable object was disabled by the shuffle"
+
+
+def test_set_object_poses_failure_raises():
+    class BadController(FakeController):
+        def step(self, action=None, **kwargs):
+            if action == "SetObjectPoses":
+                return self._event(success=False, error="boom")
+            return super().step(action=action, **kwargs)
+
+    import pytest
+
+    env = make_env(controller_factory=BadController)
+    with pytest.raises(RuntimeError, match="SetObjectPoses"):
+        env.reset()
+
+
 def test_open_close_only_episode():
     env = make_env(num_misplaced=0, num_toggled_open=2, seed=2)
     env.reset()

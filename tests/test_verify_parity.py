@@ -61,3 +61,25 @@ def test_verify_parity_full_size_oracle(tmp_path, encoder, builder):
     expected = {"clip_rn50": {"clip_conv", "clip_avgpool", "clip_attnpool"},
                 "imagenet_rn18": {"imagenet_conv", "imagenet_avgpool"}}[encoder]
     assert set(result["per_key_cosine_distance"]) == expected
+
+
+def test_verify_parity_int8_runs_quantized_graph(tmp_path):
+    # --dtype int8 must certify the actual serving graph (fold_bn + PTQ
+    # calibrated on the capture frames), not silently re-validate f32
+    # (ADVICE r2: parity.py int8 no-op).
+    torch.manual_seed(7)
+    model = O.TVResNetTrunk((2, 2, 2, 2), block="basic")
+    ckpt = str(tmp_path / "rn18_sd.pt")
+    torch.save(model.state_dict(), ckpt)
+    acts_path = str(tmp_path / "ref_acts.npz")
+    np.savez_compressed(acts_path, **capture("imagenet_rn18", ckpt, n_frames=2))
+
+    r_f32 = verify_encoder_parity("imagenet_rn18", acts_path,
+                                  torch_checkpoint=ckpt, dtype="float32")
+    r_int8 = verify_encoder_parity("imagenet_rn18", acts_path,
+                                   torch_checkpoint=ckpt, dtype="int8",
+                                   threshold=2e-2)
+    assert r_int8["pass"], json.dumps(r_int8, indent=2)
+    # a genuinely different (quantized) graph ran: measurably farther from the
+    # f32 reference than the f32 path is
+    assert r_int8["worst"] > 10 * max(r_f32["worst"], 1e-9)

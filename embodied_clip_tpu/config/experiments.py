@@ -35,8 +35,21 @@ def get_experiment(name: str, overrides: Optional[List[str]] = None) -> "Experim
         if value.lower() in ("none", "null"):
             setattr(exp, key, None)
             continue
-        typ = type(cur) if cur is not None else str
-        setattr(exp, key, typ(value) if typ is not bool else value.lower() in ("1", "true"))
+        if cur is not None:
+            typ = type(cur)
+            setattr(exp, key,
+                    typ(value) if typ is not bool else value.lower() in ("1", "true"))
+            continue
+        # None-default fields carry no type — infer from the literal
+        # (int → float → str) so numeric knobs don't arrive as strings.
+        for typ in (int, float):
+            try:
+                setattr(exp, key, typ(value))
+                break
+            except ValueError:
+                continue
+        else:
+            setattr(exp, key, value)
     return exp
 
 

@@ -247,9 +247,9 @@ class NavRLExperiment(Experiment):
         steps_per_iter = self.rollout_len * self.env_batch
         env_steps, it = 0, 0
         if ckpt:
-            from embodied_clip_tpu.utils.checkpoint import restore_pytree
+            from embodied_clip_tpu.utils.checkpoint import restore_params
 
-            params = restore_pytree(ckpt, params)
+            params = restore_params(ckpt, params)
         else:
             # Resume-on-restart from the latest step-stamped checkpoint (DD-PPO
             # preemption tolerance; SURVEY.md §5). Full train state — params, opt
@@ -314,30 +314,49 @@ class NavRLExperiment(Experiment):
 
     num_workers: int = 8
     straggler_cutoff: float = 1.0   # <1.0 enables DD-PPO laggard masking
+    # Inject a Controller-compatible factory into the THOR adapters (tests pass
+    # the scripted fixture; None = the real ai2thor.Controller).
+    controller_factory: Optional[object] = None
+    # Override the simulator episode horizon (None = each adapter's default).
+    max_episode_steps: Optional[int] = None
 
-    def _host_env_fns(self):
+    def _host_env_fns(self, eval_split: bool = False):
+        ms = {} if self.max_episode_steps is None \
+            else {"max_steps": self.max_episode_steps}
         if self.backend == "hostgrid":
             from embodied_clip_tpu.envs.host_gridworld import HostGridNav
 
-            return [lambda i=i: HostGridNav(size=6, seed=i) for i in range(self.num_workers)], (56, 56, 3)
+            return [lambda i=i: HostGridNav(size=6, seed=i, **ms)
+                    for i in range(self.num_workers)], (56, 56, 3)
         if self.backend == "thor":
+            cf = self.controller_factory
             if self.task == "rearrange":
                 from embodied_clip_tpu.envs.thor_rearrange import THORRearrangeEnv
 
                 scenes = [f"FloorPlan{i}" for i in range(1, 21)]
-                return [lambda s=seed: THORRearrangeEnv(scenes, seed=s)
+                return [lambda s=seed: THORRearrangeEnv(
+                            scenes, seed=s, controller_factory=cf, **ms)
                         for seed in range(self.num_workers)], (300, 300, 3)
             from embodied_clip_tpu.envs.thor import THORObjectNavEnv
 
-            scenes = [f"FloorPlan_Train{i}_{j}" for i in range(1, 13) for j in range(1, 6)]
-            return [lambda s=seed: THORObjectNavEnv(scenes, seed=s)
+            # RoboTHOR scene split: train scenes for rollouts, val scenes for
+            # checkpoint eval (the reference's eval contract,
+            # baselines_robothor_objectnav.md:54-68).
+            if eval_split:
+                scenes = [f"FloorPlan_Val{i}_{j}"
+                          for i in range(1, 4) for j in range(1, 6)]
+            else:
+                scenes = [f"FloorPlan_Train{i}_{j}"
+                          for i in range(1, 13) for j in range(1, 6)]
+            return [lambda s=seed: THORObjectNavEnv(
+                        scenes, seed=s, controller_factory=cf, **ms)
                     for seed in range(self.num_workers)], (300, 300, 3)
         if self.backend == "habitat":
             from embodied_clip_tpu.envs.habitat import HabitatNavEnv
 
             cfg = os.environ.get("ECT_HABITAT_CONFIG", f"configs/tasks/{self.task}.yaml")
             return [lambda s=seed: HabitatNavEnv(cfg, task=self.task, seed=s,
-                                                 rgb_only=not self.rgbd)
+                                                 rgb_only=not self.rgbd, **ms)
                     for seed in range(self.num_workers)], (480, 640, 3)
         raise ValueError(f"unknown backend {self.backend!r}")
 
@@ -367,7 +386,7 @@ class NavRLExperiment(Experiment):
 
                 num_actions, goal_kind = len(REARRANGE_ACTIONS), "none"
             else:
-                num_actions = {"hostgrid": 4, "thor": 6, "habitat": 6}[self.backend]
+                num_actions = {"hostgrid": 6, "thor": 6, "habitat": 6}[self.backend]
                 goal_kind = "pointgoal" if self.task == "pointnav" else "object_embed"
             policy = ActorCritic(
                 num_actions=num_actions, goal_kind=goal_kind,
@@ -395,7 +414,9 @@ class NavRLExperiment(Experiment):
             ckpts = StepCheckpointer(os.path.join(output_dir, self.name), prefix="exp")
             env_steps = 0
             if ckpt:
-                params = restore_pytree(ckpt, params)
+                from embodied_clip_tpu.utils.checkpoint import restore_params
+
+                params = restore_params(ckpt, params)
             else:
                 # Full train state; external simulator state can't be checkpointed
                 # (lives in worker processes), so envs restart fresh on resume —
@@ -414,6 +435,11 @@ class NavRLExperiment(Experiment):
             steps_per_iter = self.rollout_len * venv.n
             last_ckpt = env_steps
             metrics = {}
+            writer = None
+            if self.log_dir:
+                from embodied_clip_tpu.utils.tensorboard import SummaryWriter
+
+                writer = SummaryWriter(os.path.join(self.log_dir, self.name))
             while env_steps < self.total_env_steps:
                 if self.algo == "dagger":
                     params, opt_state, metrics = learner.train_iteration(
@@ -422,11 +448,20 @@ class NavRLExperiment(Experiment):
                     params, opt_state, metrics = learner.train_iteration(
                         params, opt_state)
                 env_steps += steps_per_iter
+                if writer:
+                    # throughput + per-stage timing are first-class trainer
+                    # metrics (SURVEY.md §5 tracing row)
+                    for k in ("success", "spl", "loss", "env_steps_per_s",
+                              "act_frac", "env_step_frac", "update_frac"):
+                        if k in metrics:
+                            writer.add_scalar(k, float(metrics[k]), env_steps)
                 if env_steps - last_ckpt >= self.ckpt_every_steps:
                     ckpts.save(env_steps,
                                {"params": params, "opt_state": opt_state})
                     last_ckpt = env_steps
             ckpts.save(env_steps, {"params": params, "opt_state": opt_state})
+            if writer:
+                writer.close()
             self._last_params = params
             self._last_policy = policy
             out = {k: float(v) for k, v in metrics.items()}
@@ -438,6 +473,12 @@ class NavRLExperiment(Experiment):
     # ------------------------------------------------------------------------ eval
 
     def evaluate(self, output_dir: str, ckpt: Optional[str] = None) -> dict:
+        """Checkpoint evaluation. backend=fake evaluates on the jittable
+        gridworld; backend=thor/habitat/hostgrid evaluates ON THE SIMULATOR
+        (val scenes for RoboTHOR) via evaluate_policy_host — the reference's
+        eval contract (baselines_robothor_objectnav.md:54-68,
+        baselines_habitat.md:88-97). Both paths emit the same metrics.json
+        schema."""
         import jax
 
         from embodied_clip_tpu.training.evaluate import (
@@ -445,30 +486,35 @@ class NavRLExperiment(Experiment):
         )
         from embodied_clip_tpu.utils.checkpoint import restore_pytree
 
-        env = getattr(self, "_last_env", None) or self._build_fake_env()
-        policy = getattr(self, "_last_policy", None) or self._build_policy(env)
-        params = getattr(self, "_last_params", None)
-        if ckpt:
-            restored = restore_pytree(ckpt)
-            params = restored["params"] if "params" in restored else restored
-        assert params is not None, "evaluate needs --ckpt or a preceding train()"
+        if self.backend != "fake":
+            episodes = self._evaluate_host(ckpt)
+        else:
+            env = getattr(self, "_last_env", None) or self._build_fake_env()
+            policy = getattr(self, "_last_policy", None) or self._build_policy(env)
+            params = getattr(self, "_last_params", None)
+            if ckpt:
+                restored = restore_pytree(ckpt)
+                params = restored["params"] if "params" in restored else restored
+            assert params is not None, "evaluate needs --ckpt or a preceding train()"
 
-        if self.zeroshot:
-            # Evaluate on the full vocabulary (seen + unseen), reference
-            # zeroshot_objectnav.md:22: eval runs with the original 12 object types.
-            env = dataclasses.replace(getattr(env, "inner", env), class_set=None)
+            if self.zeroshot:
+                # Evaluate on the full vocabulary (seen + unseen), reference
+                # zeroshot_objectnav.md:22: eval runs with the original 12 object
+                # types.
+                env = dataclasses.replace(getattr(env, "inner", env),
+                                          class_set=None)
 
-        # Real vocabulary in the eval records (the reference's per-object-type
-        # aggregation schema, zeroshot_objectnav.md:34-47, keys on class names).
-        n_classes = getattr(env, "num_classes", 12)
-        names = list(ROBOTHOR_OBJECT_TYPES[:n_classes])
-        names += [f"Class{i}" for i in range(len(names), n_classes)]
-        episodes = evaluate_policy(
-            env, policy.apply, params, jax.random.PRNGKey(self.seed),
-            num_episodes=self.eval_episodes, hidden=policy.hidden,
-            class_names=names, goal_map_fn=self._goal_map_fn(env),
-            encode_fn=self._encode_fn(),
-        )
+            # Real vocabulary in the eval records (the reference's per-object-type
+            # aggregation schema, zeroshot_objectnav.md:34-47, keys on class names).
+            n_classes = getattr(env, "num_classes", 12)
+            names = list(ROBOTHOR_OBJECT_TYPES[:n_classes])
+            names += [f"Class{i}" for i in range(len(names), n_classes)]
+            episodes = evaluate_policy(
+                env, policy.apply, params, jax.random.PRNGKey(self.seed),
+                num_episodes=self.eval_episodes, hidden=policy.hidden,
+                class_names=names, goal_map_fn=self._goal_map_fn(env),
+                encode_fn=self._encode_fn(),
+            )
         os.makedirs(os.path.join(output_dir, self.name), exist_ok=True)
         path = write_metrics_json(
             os.path.join(output_dir, self.name, "metrics.json"), episodes
@@ -487,6 +533,56 @@ class NavRLExperiment(Experiment):
         overall["per_object_type"] = {t: {"success": s, "spl": p}
                                       for t, (s, p) in per_type.items()}
         return overall
+
+
+    def _evaluate_host(self, ckpt: Optional[str]):
+        """Eval on the real simulator pool (VectorEnv of THOR/Habitat/hostgrid
+        workers), RoboTHOR val scenes. Returns per-episode records."""
+        import jax
+        import jax.numpy as jnp
+
+        from embodied_clip_tpu.envs.vector import VectorEnv
+        from embodied_clip_tpu.models.policy import ActorCritic
+        from embodied_clip_tpu.training.evaluate import evaluate_policy_host
+        from embodied_clip_tpu.utils.checkpoint import restore_params
+
+        env_fns, frame_shape = self._host_env_fns(eval_split=True)
+        venv = VectorEnv(env_fns, frame_shape=frame_shape)
+        try:
+            encode = self._encode_fn()
+            if self.task == "rearrange":
+                from embodied_clip_tpu.envs.thor_rearrange import REARRANGE_ACTIONS
+
+                num_actions, goal_kind = len(REARRANGE_ACTIONS), "none"
+            else:
+                num_actions = 6
+                goal_kind = "pointgoal" if self.task == "pointnav" else "object_embed"
+            policy = ActorCritic(
+                num_actions=num_actions, goal_kind=goal_kind,
+                num_goal_classes=12, hidden=self.hidden,
+                visual_is_map=encode is not None, scratch_cnn=encode is None,
+            )
+            params = getattr(self, "_last_params", None)
+            if ckpt:
+                obs0 = venv.reset()
+                o = {k: jnp.asarray(v) for k, v in obs0.items()}
+                if encode is not None:
+                    o["visual"] = encode(o["visual"])
+                o["prev_action"] = jnp.zeros((venv.n,), jnp.int32)
+                template = policy.init(
+                    jax.random.PRNGKey(0), o, policy.initial_state(venv.n),
+                    jnp.zeros((venv.n,), bool))["params"]
+                params = restore_params(ckpt, template)
+            assert params is not None, "evaluate needs --ckpt or a preceding train()"
+            goal_map = self._goal_map_fn(venv) if self.zeroshot else None
+            return evaluate_policy_host(
+                venv, policy.apply, params, jax.random.PRNGKey(self.seed),
+                num_episodes=self.eval_episodes, hidden=self.hidden,
+                num_actions=num_actions, encode_fn=encode, goal_map_fn=goal_map,
+                class_names=list(ROBOTHOR_OBJECT_TYPES),
+            )
+        finally:
+            venv.close()
 
 
 class _GoalMappedEnv:
@@ -537,6 +633,13 @@ for task in ("objectnav", "pointnav"):
 _reg("ddppo_objectnav_rgb", task="objectnav", encoder=None, **_HABITAT_PPO)
 _reg("ddppo_objectnav_rgbd", task="objectnav", encoder=None, rgbd=True,
      **_HABITAT_PPO)  # scratch + depth
+# rgbd × frozen encoder ("replace rgb with rgbd in the exp-config",
+# baselines_habitat.md:75): depth is pooled to the conv-map grid and fed to the
+# trainable compressor alongside the frozen features (models/policy.py).
+_reg("ddppo_objectnav_rgbd_clip", task="objectnav", encoder="clip_rn50",
+     rgbd=True, **_HABITAT_PPO)
+_reg("ddppo_objectnav_rgbd_imagenet", task="objectnav", encoder="imagenet_rn50",
+     rgbd=True, **_HABITAT_PPO)
 
 # iTHOR Rearrangement 1-phase DAgger (fake backend: pick→carry→place env).
 _reg("one_phase_rgb_clipresnet50_dagger", task="rearrange", algo="dagger",

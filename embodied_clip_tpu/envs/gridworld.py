@@ -2,8 +2,9 @@
 
 Fills the test-strategy gap SURVEY.md §4 identifies: the reference has no hermetic env
 — its RL suites need AI2-THOR/habitat-sim binaries. This env is a deterministic,
-fully-jittable ObjectNav analogue: egocentric observations, THOR-style discrete
-actions (MoveAhead / RotateLeft / RotateRight / End, cf. thor_frames.py:66-86), a
+fully-jittable ObjectNav analogue: egocentric observations, THOR's discrete
+6-action ObjectNav space (MoveAhead / RotateLeft / RotateRight / LookUp /
+LookDown / End, cf. thor_frames.py:66-86), a
 target object class among distractors, shaped navigation reward, success + SPL
 metrics. Because `step` is a pure function on a pytree state, whole rollouts run
 on-device under `lax.scan` — the TPU-native counterpart of allenact's CPU vectorized
@@ -24,8 +25,13 @@ from flax import struct
 
 __all__ = ["GridNavEnv", "GridNavState", "ACTIONS"]
 
-ACTIONS = ("MoveAhead", "RotateLeft", "RotateRight", "End")
-MOVE_AHEAD, ROTATE_LEFT, ROTATE_RIGHT, END = range(4)
+# The full THOR ObjectNav discrete action space (envs/thor.py OBJECTNAV_ACTIONS;
+# ref thor_frames.py:66-86 horizon mechanics) — same names, same indices — so a
+# checkpoint trained on this hermetic backend restores into a thor-backend
+# learner unchanged. LookUp/LookDown pitch the camera: the egocentric window
+# shifts along the forward axis (up = farther ahead, down = closer).
+ACTIONS = ("MoveAhead", "RotateLeft", "RotateRight", "LookUp", "LookDown", "End")
+MOVE_AHEAD, ROTATE_LEFT, ROTATE_RIGHT, LOOK_UP, LOOK_DOWN, END = range(6)
 
 # dir: 0=N(-y), 1=E(+x), 2=S(+y), 3=W(-x)
 _DIR_VECS = jnp.array([[-1, 0], [0, 1], [1, 0], [0, -1]], jnp.int32)
@@ -44,6 +50,7 @@ class GridNavState:
     key: jnp.ndarray            # (B, 2) uint32 per-env PRNG
     agent_pos: jnp.ndarray      # (B, 2) int32 (y, x)
     agent_dir: jnp.ndarray      # (B,) int32
+    agent_hor: jnp.ndarray      # (B,) int32 camera horizon in {-1(up),0,1(down)}
     object_pos: jnp.ndarray     # (B, K, 2) int32
     object_cls: jnp.ndarray     # (B, K) int32
     target_idx: jnp.ndarray     # (B,) int32 — which object is the goal
@@ -100,19 +107,16 @@ class GridNavEnv:
         agent_pos = jax.random.randint(k1, (2,), 0, self.size)
         agent_dir = jax.random.randint(k2, (), 0, 4)
         object_pos = jax.random.randint(k3, (self.num_objects, 2), 0, self.size)
-        # Distinct classes per episode so the goal is unambiguous; sampled from
-        # class_set when given (distinct via base+offset, cheaper than a permutation).
+        # Distinct classes per episode so the goal is unambiguous, at ANY
+        # num_objects ≤ |pool|: a random permutation of the pool (repeats only
+        # when there are more objects than classes, which no config registers).
         pool = jnp.asarray(
             self.class_set if self.class_set is not None else range(self.num_classes),
             jnp.int32,
         )
-        kb, ko = jax.random.split(k4)
-        base = jax.random.randint(kb, (), 0, len(pool))
-        offs = jax.random.randint(ko, (self.num_objects,), 1, len(pool))
-        # base + cumulative offsets: pairwise-distinct for num_objects<=2 (the default);
-        # rare repeats possible beyond that, harmless for a synthetic env.
-        idx = jnp.concatenate([base[None], (base + jnp.cumsum(offs[:-1])) % len(pool)])
-        object_cls = pool[idx % len(pool)].astype(jnp.int32)
+        perm = jax.random.permutation(k4, pool.shape[0])
+        idx = perm[jnp.arange(self.num_objects) % pool.shape[0]]
+        object_cls = pool[idx].astype(jnp.int32)
         target_idx = jax.random.randint(k5, (), 0, self.num_objects)
         tgt = object_pos[target_idx]
         start_dist = jnp.abs(agent_pos - tgt).sum()
@@ -126,7 +130,9 @@ class GridNavEnv:
         init = jax.vmap(self._init_episode)(nxt[:, 0])
         state = GridNavState(
             key=nxt[:, 1],
-            agent_pos=init[0], agent_dir=init[1], object_pos=init[2],
+            agent_pos=init[0], agent_dir=init[1],
+            agent_hor=jnp.zeros(batch, jnp.int32),
+            object_pos=init[2],
             object_cls=init[3], target_idx=init[4],
             t=jnp.zeros(batch, jnp.int32), start_dist=init[5],
         )
@@ -142,6 +148,9 @@ class GridNavEnv:
         ego = jnp.stack(jnp.meshgrid(fwd, rgt, indexing="ij"), -1)  # (v,v,2)=(fwd,right)
         rot = _ROT[s.agent_dir]                                     # (B,2,2)
         world = jnp.einsum("vwe,bed->bvwd", ego, rot) + s.agent_pos[:, None, None, :]
+        # Camera pitch: looking up (hor=-1) shifts the window one cell farther
+        # ahead, looking down (hor=+1) one cell closer (THOR horizon analogue).
+        world = world - (s.agent_hor[:, None] * _DIR_VECS[s.agent_dir])[:, None, None, :]
         in_bounds = ((world >= 0) & (world < self.size)).all(-1)    # (B,v,v)
         # per-cell object class one-hot
         match = (world[:, :, :, None, :] == s.object_pos[:, None, None, :, :]).all(-1)
@@ -238,8 +247,12 @@ class GridNavEnv:
         new_dir = (s.agent_dir
                    + jnp.where(action == ROTATE_LEFT, -1, 0)
                    + jnp.where(action == ROTATE_RIGHT, 1, 0)) % 4
+        new_hor = jnp.clip(s.agent_hor
+                           + jnp.where(action == LOOK_UP, -1, 0)
+                           + jnp.where(action == LOOK_DOWN, 1, 0), -1, 1)
         stepped = s.replace(agent_pos=new_pos.astype(jnp.int32),
                             agent_dir=new_dir.astype(jnp.int32),
+                            agent_hor=new_hor.astype(jnp.int32),
                             t=s.t + 1)
 
         d_new = self._dist(stepped)
@@ -262,7 +275,8 @@ class GridNavEnv:
         nxt = jax.vmap(lambda k: jax.random.split(k, 2))(stepped.key)
         init = jax.vmap(self._init_episode)(nxt[:, 0])
         fresh = GridNavState(
-            key=nxt[:, 1], agent_pos=init[0], agent_dir=init[1], object_pos=init[2],
+            key=nxt[:, 1], agent_pos=init[0], agent_dir=init[1],
+            agent_hor=jnp.zeros_like(stepped.agent_hor), object_pos=init[2],
             object_cls=init[3], target_idx=init[4],
             t=jnp.zeros_like(stepped.t), start_dist=init[5],
         )

@@ -20,7 +20,9 @@ _DIRS = np.array([[-1, 0], [0, 1], [1, 0], [0, -1]])
 
 
 class HostGridNav(HostEnv):
-    num_actions = 4  # MoveAhead, RotateLeft, RotateRight, End
+    # THOR's 6-action ObjectNav space, same indices as envs/thor.py and the
+    # jittable envs/gridworld.py, so checkpoints transfer across backends.
+    num_actions = 6  # MoveAhead, RotateLeft, RotateRight, LookUp, LookDown, End
 
     def __init__(self, size: int = 6, num_classes: int = 12, max_steps: int = 48,
                  frame_px: int = 8, seed: int = 0):
@@ -34,6 +36,7 @@ class HostGridNav(HostEnv):
     def _new_episode(self):
         self.pos = self.rng.randint(0, self.size, 2)
         self.dir = self.rng.randint(0, 4)
+        self.hor = 0  # camera horizon in {-1(up), 0, 1(down)}
         self.objects = self.rng.randint(0, self.size, (2, 2))
         c0 = self.rng.randint(0, self.num_classes)
         self.classes = np.array([c0, (c0 + 1 + self.rng.randint(self.num_classes - 1))
@@ -51,7 +54,8 @@ class HostGridNav(HostEnv):
                2: lambda f, r: (f, -r), 3: lambda f, r: (-r, -f)}[self.dir]
         for i in range(v):
             for j in range(v):
-                f, r = (v - 1 - i) - v // 2, j - v // 2
+                # camera pitch shifts the window along the forward axis
+                f, r = (v - 1 - i) - v // 2 - self.hor, j - v // 2
                 dy, dx = rot(f, r)
                 y, x = self.pos[0] + dy, self.pos[1] + dx
                 if not (0 <= y < self.size and 0 <= x < self.size):
@@ -80,10 +84,14 @@ class HostGridNav(HostEnv):
             self.dir = (self.dir - 1) % 4
         elif action == 2:
             self.dir = (self.dir + 1) % 4
+        elif action == 3:
+            self.hor = max(self.hor - 1, -1)
+        elif action == 4:
+            self.hor = min(self.hor + 1, 1)
         self.t += 1
         d_new = np.abs(self.pos - self.objects[self.target]).sum()
-        success = action == 3 and d_new <= 1
-        done = action == 3 or self.t >= self.max_steps
+        success = action == 5 and d_new <= 1
+        done = action == 5 or self.t >= self.max_steps
         reward = -0.01 + 0.2 * float(d_prev - d_new) + 10.0 * float(success)
         info: Dict[str, Any] = {}
         if done:

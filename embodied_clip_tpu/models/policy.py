@@ -115,6 +115,17 @@ class ActorCritic(nn.Module):
                 v = jnp.concatenate([v.astype(self.dtype), depth], axis=-1)
             parts.append(self.scratch(v))
         elif self.visual_is_map:
+            # RGBD with a FROZEN encoder (habitat rgbd exp-configs,
+            # baselines_habitat.md:75): the depth sensor bypasses the RGB
+            # encoder — downsample it to the conv-map grid and concat as an
+            # extra channel on the trainable compressor's input, so depth is
+            # consumed (not silently dropped) and stays trainable end-to-end.
+            if "depth" in obs:
+                d = obs["depth"].astype(self.dtype)
+                d = jax.image.resize(
+                    d, (d.shape[0], v.shape[1], v.shape[2], d.shape[-1]),
+                    method="linear")
+                v = jnp.concatenate([v.astype(self.dtype), d], axis=-1)
             parts.append(self.compressor(v))
         else:
             parts.append(nn.relu(self.visual_fc(v.astype(self.dtype))))

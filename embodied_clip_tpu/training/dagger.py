@@ -260,13 +260,21 @@ class HostDAggerLearner:
                 self._buffer.pop(0)
 
         loss = acc = jnp.float32(0)
-        for _ in range(max(self.cfg.epochs, 1)):
-            sample = fresh if not self._buffer else \
-                self._buffer[self._rng.randint(len(self._buffer))]
-            params, opt_state, loss, acc = self._sup_step(
-                params, opt_state, *self._shard(sample)
-            )
+        with self.collector.timer.stage("update"):
+            for _ in range(max(self.cfg.epochs, 1)):
+                sample = fresh if not self._buffer else \
+                    self._buffer[self._rng.randint(len(self._buffer))]
+                params, opt_state, loss, acc = self._sup_step(
+                    params, opt_state, *self._shard(sample)
+                )
+            loss, acc = float(loss), float(acc)  # block inside the timed stage
         metrics = dict(env_metrics)
-        metrics.update(loss=float(loss), expert_match=float(acc), beta=beta,
-                       env_steps=float(self.cfg.rollout_len * self.venv.n))
+        metrics.update(loss=loss, expert_match=acc, beta=beta)
+        steps = float(self.cfg.rollout_len * self.venv.n)
+        metrics["env_steps"] = steps
+        summ = self.collector.timer.summary()
+        wall = sum(summ[k] for k in summ if k.endswith("_s"))
+        metrics.update(summ)
+        metrics["env_steps_per_s"] = steps / max(wall, 1e-9)
+        self.collector.timer.reset()
         return params, opt_state, metrics

@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["evaluate_policy", "write_metrics_json", "compute_scores"]
+__all__ = ["evaluate_policy", "evaluate_policy_host", "write_metrics_json",
+           "compute_scores"]
 
 
 def evaluate_policy(env, apply_fn, params, key, num_episodes: int, hidden: int,
@@ -108,6 +109,91 @@ def evaluate_policy(env, apply_fn, params, key, num_episodes: int, hidden: int,
             f"before exhausting max_steps_total={max_steps_total}; metrics "
             "aggregates cover only the completed episodes", RuntimeWarning,
             stacklevel=2)
+    return episodes[:num_episodes]
+
+
+def evaluate_policy_host(venv, apply_fn, params, key, num_episodes: int,
+                         hidden: int, num_actions: int,
+                         deterministic: bool = True,
+                         encode_fn: Optional[Callable] = None,
+                         goal_map_fn: Optional[Callable] = None,
+                         class_names: Optional[Sequence[str]] = None,
+                         max_steps_total: Optional[int] = None) -> List[Dict]:
+    """Evaluate on a REAL (host-process) simulator pool — the reference's
+    checkpoint-eval contract: eval runs on the simulator's val scenes, not a
+    synthetic stand-in (baselines_robothor_objectnav.md:54-68,
+    baselines_habitat.md:88-97). Greedy (or sampled) policy over a VectorEnv of
+    THOR/Habitat workers; per-episode success/SPL/object_type records in the
+    same schema as the on-device `evaluate_policy`.
+
+    The policy act-step (optional frozen encode + GRU step) is jitted on
+    device; only env stepping crosses the host boundary. Straggler-masked
+    (invalid) transitions never record episodes.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def act(params, obs, h, is_start, prev_action, key):
+        o = {k: jnp.asarray(v) for k, v in obs.items()}
+        if encode_fn is not None:
+            o["visual"] = encode_fn(o["visual"])
+        if goal_map_fn is not None:
+            o["goal"] = goal_map_fn(o["goal"])
+        o["prev_action"] = prev_action
+        logits, _, h = apply_fn({"params": params}, o, h, is_start)
+        key, k = jax.random.split(key)
+        if deterministic:
+            action = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            action = jax.random.categorical(k, logits).astype(jnp.int32)
+        return action, h, key
+
+    obs = venv.reset()
+    b = next(iter(obs.values())).shape[0]
+    h = jnp.zeros((b, hidden), jnp.float32)
+    prev_a = jnp.full((b,), num_actions, jnp.int32)
+    is_start = jnp.ones((b,), bool)
+
+    horizon = int(getattr(venv, "max_steps", 512))
+    if max_steps_total is None:
+        per_slot = -(-num_episodes // max(b, 1))
+        max_steps_total = max(4096, 4 * per_slot * horizon)
+
+    episodes: List[Dict] = []
+    steps = 0
+    while len(episodes) < num_episodes and steps < max_steps_total:
+        goal_now = np.asarray(obs["goal"])
+        action, h, key = act(params, obs, h, is_start, prev_a, key)
+        obs, _rew, done, infos, valid = venv.step(np.asarray(action))
+        done = np.asarray(done, bool)
+        steps += 1
+        for i in range(b):
+            if not (done[i] and valid[i]) or "success" not in infos[i]:
+                continue
+            inf = infos[i]
+            cls = inf.get("object_type")
+            if cls is None:
+                g = int(goal_now[i]) if np.ndim(goal_now[i]) == 0 else -1
+                cls = class_names[g] if class_names and 0 <= g < len(class_names) \
+                    else str(g)
+            episodes.append({
+                "success": float(inf["success"]),
+                "spl": float(inf.get("spl", 0.0)),
+                "ep_length": float(inf.get("episode_len", 0.0)),
+                "task_info": {"object_type": str(cls)},
+            })
+            if len(episodes) >= num_episodes:
+                break
+        is_start = jnp.asarray(done)
+        prev_a = jnp.where(jnp.asarray(done), jnp.int32(num_actions), action)
+    if len(episodes) < num_episodes:
+        import warnings
+
+        warnings.warn(
+            f"evaluate_policy_host delivered {len(episodes)}/{num_episodes} "
+            f"episodes before exhausting max_steps_total={max_steps_total}",
+            RuntimeWarning, stacklevel=2)
     return episodes[:num_episodes]
 
 

@@ -80,6 +80,7 @@ class HostPPOLearner:
         return params, opt_state, metrics
 
     def train_iteration(self, params, opt_state) -> Tuple[dict, optax.OptState, Dict]:
+        timer = self.collector.timer
         rollout, last_value, env_metrics = self.collector.collect(
             params, self.cfg.rollout_len
         )
@@ -88,10 +89,20 @@ class HostPPOLearner:
 
             rollout = shard_time_major(rollout, self.mesh, batch=self.venv.n)
             last_value = shard_time_major(last_value, self.mesh, batch=self.venv.n)
-        params, opt_state, loss_metrics = self._update(
-            params, opt_state, rollout, last_value
-        )
+        with timer.stage("update"):
+            params, opt_state, loss_metrics = self._update(
+                params, opt_state, rollout, last_value
+            )
+            loss_metrics = {k: float(v) for k, v in loss_metrics.items()}  # block
         metrics = dict(env_metrics)
-        metrics.update({k: float(v) for k, v in loss_metrics.items()})
-        metrics["env_steps"] = float(self.cfg.rollout_len * self.venv.n)
+        metrics.update(loss_metrics)
+        steps = float(self.cfg.rollout_len * self.venv.n)
+        metrics["env_steps"] = steps
+        # Per-stage timing as first-class trainer metrics (SURVEY.md §5):
+        # act/env_step/update seconds + fractions, and end-to-end env-steps/s.
+        summ = timer.summary()
+        wall = sum(summ[k] for k in summ if k.endswith("_s"))
+        metrics.update(summ)
+        metrics["env_steps_per_s"] = steps / max(wall, 1e-9)
+        timer.reset()
         return params, opt_state, metrics

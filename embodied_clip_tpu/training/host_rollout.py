@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from embodied_clip_tpu.training.ppo import Rollout
+from embodied_clip_tpu.utils.profiling import StageTimer
 
 __all__ = ["HostRolloutCollector"]
 
@@ -40,6 +41,11 @@ class HostRolloutCollector:
         self._h = None
         self._prev_action = None
         self._is_start = None
+        # Per-stage wall-time accounting (SURVEY.md §5 tracing row): "act" =
+        # device act step incl. the frozen encode, "env_step" = waiting on the
+        # simulator pool. The learner adds "update" and publishes fractions +
+        # env-steps/s as first-class trainer metrics.
+        self.timer = StageTimer()
 
     def _policy_obs(self, obs_np: Dict[str, np.ndarray], prev_action) -> Dict:
         o = {k: jnp.asarray(v) for k, v in obs_np.items()}
@@ -87,11 +93,12 @@ class HostRolloutCollector:
         ep_metrics = {"success": [], "spl": [], "episode_len": []}
         h0 = self._h
         for _ in range(num_steps):
-            obs_dev = self._policy_obs(self._obs, self._prev_action)
-            action, logp, value, self._h, self._key = self._act_step(
-                params, obs_dev, self._h, self._is_start, self._key
-            )
-            action_np = np.asarray(action)
+            with self.timer.stage("act"):
+                obs_dev = self._policy_obs(self._obs, self._prev_action)
+                action, logp, value, self._h, self._key = self._act_step(
+                    params, obs_dev, self._h, self._is_start, self._key
+                )
+                action_np = np.asarray(action)  # blocks on the device act step
             # Envs step while we record the transition host-side.
             self.venv.step_async(action_np)
             obs_seq.append(obs_dev)
@@ -99,7 +106,8 @@ class HostRolloutCollector:
             actions.append(action)
             logps.append(logp)
             values.append(value)
-            next_obs, reward, done, infos, valid = self.venv.step_wait()
+            with self.timer.stage("env_step"):
+                next_obs, reward, done, infos, valid = self.venv.step_wait()
             rewards.append(jnp.asarray(reward))
             dones.append(jnp.asarray(done))
             valids.append(jnp.asarray(valid))

@@ -17,7 +17,8 @@ from typing import Any, Optional
 import jax
 import orbax.checkpoint as ocp
 
-__all__ = ["save_pytree", "restore_pytree", "BestCheckpointer", "StepCheckpointer"]
+__all__ = ["save_pytree", "restore_pytree", "restore_params", "BestCheckpointer",
+           "StepCheckpointer"]
 
 
 def save_pytree(path: str, tree: Any) -> None:
@@ -36,6 +37,35 @@ def restore_pytree(path: str, target: Optional[Any] = None) -> Any:
         return ckptr.restore(path)
     finally:
         ckptr.close()
+
+
+def restore_params(path: str, params_template: Any) -> Any:
+    """Restore ONLY policy/model params from a checkpoint of either layout:
+    a bare params tree, or a full train state ({"params", "opt_state", ...} —
+    the step-stamped RL checkpoints). This is what makes fake-trained
+    checkpoints loadable by thor/habitat-backend learners (`--ckpt`): the
+    action spaces match (envs/gridworld.py ACTIONS == envs/thor.py
+    OBJECTNAV_ACTIONS), so only the params subtree transfers."""
+    raw = restore_pytree(path)
+    if isinstance(raw, dict) and "params" in raw:
+        raw = raw["params"]
+    flat_t, treedef = jax.tree.flatten(params_template)
+    flat_r = jax.tree.leaves(raw)
+    if len(flat_t) != len(flat_r):
+        raise ValueError(
+            f"checkpoint param tree has {len(flat_r)} leaves, expected "
+            f"{len(flat_t)} — incompatible policy architecture")
+    import jax.numpy as jnp
+
+    out = []
+    for t, v in zip(flat_t, flat_r):
+        v = jnp.asarray(v)
+        if v.shape != t.shape:
+            raise ValueError(
+                f"checkpoint leaf shape {v.shape} != expected {t.shape} — "
+                "incompatible policy architecture")
+        out.append(v.astype(t.dtype))
+    return jax.tree.unflatten(treedef, out)
 
 
 class BestCheckpointer:

@@ -116,7 +116,7 @@ def test_vector_env_reset_drains_pending_stragglers():
 def test_host_rollout_collection():
     venv = _make_venv(2)
     try:
-        policy = ActorCritic(num_actions=4, goal_kind="object_embed",
+        policy = ActorCritic(num_actions=6, goal_kind="object_embed",
                              num_goal_classes=12, hidden=32, visual_is_map=False)
         # encode: flatten a downsampled frame (cheap stand-in for the CLIP encoder)
         def encode(frames_u8):
@@ -259,3 +259,25 @@ def test_straggler_cutoff_no_desync():
         venv.step(np.zeros(venv.n, np.int64))
     finally:
         venv.close()
+
+
+def test_host_learner_publishes_stage_timing_metrics(tmp_path):
+    """SURVEY.md §5 tracing row: per-stage timers (act / env_step / update) and
+    env-steps/s are first-class trainer metrics, logged to TensorBoard."""
+    import dataclasses as dc
+    import glob
+
+    from embodied_clip_tpu.config.experiments import get_experiment
+
+    exp = get_experiment("objectnav_robothor_rgb_clipresnet50gru_ddppo")
+    exp = dc.replace(exp, backend="hostgrid", encoder=None, num_workers=2,
+                     total_env_steps=16, rollout_len=4, hidden=32,
+                     ckpt_every_steps=10_000, log_dir=str(tmp_path / "logs"))
+    out = exp.train(output_dir=str(tmp_path))
+    for k in ("act_s", "env_step_s", "update_s",
+              "act_frac", "env_step_frac", "update_frac", "env_steps_per_s"):
+        assert k in out, sorted(out)
+    assert out["env_steps_per_s"] > 0
+    assert abs(out["act_frac"] + out["env_step_frac"] + out["update_frac"] - 1.0) < 1e-6
+    assert glob.glob(str(tmp_path / "logs" / exp.name / "events.out.tfevents*")), \
+        "no TB event file written"

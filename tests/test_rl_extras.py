@@ -196,8 +196,8 @@ def test_zeroshot_e2e_seen_unseen_generalization():
 
     train_env = GoalMapped(GridNavEnv(size=5, max_steps=24, flat_obs=True,
                                       class_set=seen))
-    policy = ActorCritic(num_actions=4, goal_kind="text_embed", goal_input_dim=12,
-                         hidden=64, visual_is_map=False)
+    policy = ActorCritic(num_actions=train_env.num_actions, goal_kind="text_embed",
+                         goal_input_dim=12, hidden=64, visual_is_map=False)
     learner = DDPPOLearner(train_env, policy, DDPPOConfig(
         rollout_len=32, env_batch=16, ppo=PPOConfig(lr=3e-3, epochs=4)))
     params, opt, act = learner.init(jax.random.PRNGKey(0))
@@ -332,3 +332,82 @@ def test_minibatched_update_matches_manual_slices():
         assert mb.h0.shape == (B // 4,)
         assert mb.valid.shape == (T, B // 4)
         np.testing.assert_array_equal(a, mb.values + 1)
+
+
+def test_fake_trained_checkpoint_transfers_to_thor_backend_policy(tmp_path):
+    """Fake and THOR ObjectNav now share the 6-action space (VERDICT r2 next #3):
+    a checkpoint trained on the hermetic backend must restore into the policy a
+    thor-backend learner builds, parameter-for-parameter."""
+    import dataclasses as _dc
+    import glob
+    import os
+
+    from embodied_clip_tpu.config.experiments import get_experiment
+    from embodied_clip_tpu.envs.gridworld import ACTIONS as GRID_ACTIONS
+    from embodied_clip_tpu.envs.thor import OBJECTNAV_ACTIONS
+    from embodied_clip_tpu.utils.checkpoint import restore_params, restore_pytree
+
+    assert GRID_ACTIONS == OBJECTNAV_ACTIONS  # names AND indices
+
+    exp = get_experiment("objectnav_robothor_rgb_clipresnet50gru_ddppo")
+    exp = _dc.replace(exp, total_env_steps=32, rollout_len=4, env_batch=8,
+                      hidden=32, encoder="clip_rn_tiny", encoder_dtype="float32",
+                      ckpt_every_steps=32)
+    exp.train(output_dir=str(tmp_path))
+    ckpts = sorted(glob.glob(os.path.join(str(tmp_path), exp.name, "exp_*")))
+    assert ckpts, "train wrote no step checkpoint"
+    saved = restore_pytree(ckpts[-1])
+
+    # The policy exactly as _train_host builds it for backend=thor (same hidden
+    # and encoder): 6 actions, object_embed goal, conv-map visual front.
+    policy = ActorCritic(num_actions=6, goal_kind="object_embed",
+                         num_goal_classes=12, hidden=32,
+                         visual_is_map=True, scratch_cnn=False)
+    enc = exp._encode_fn()
+    vis = enc(np.zeros((2, 300, 300, 3), np.uint8))  # thor-shaped frames
+    obs = {"visual": vis, "goal": jnp.zeros((2,), jnp.int32),
+           "prev_action": jnp.zeros((2,), jnp.int32)}
+    host_params = policy.init(jax.random.PRNGKey(0), obs,
+                              policy.initial_state(2),
+                              jnp.zeros((2,), bool))["params"]
+    # identical tree structure + leaf shapes -> restore is well-defined
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.shape(a), np.shape(b)), saved["params"], host_params)
+    # the actual `--ckpt` path: restore_params loads the fake full-state
+    # checkpoint into the host policy's template
+    restored = restore_params(ckpts[-1], host_params)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b),
+                 restored, saved["params"])
+
+
+def test_rgbd_with_frozen_encoder_consumes_depth(tmp_path):
+    """rgbd × frozen encoder (VERDICT r2 next #4): depth must reach the policy —
+    changing it changes the output — and the registered configs must train."""
+    import dataclasses as _dc
+
+    from embodied_clip_tpu.config.experiments import get_experiment
+
+    policy = ActorCritic(num_actions=6, goal_kind="object_embed",
+                         num_goal_classes=12, hidden=32, visual_is_map=True)
+    rng = np.random.RandomState(0)
+    obs = {"visual": jnp.asarray(rng.randn(2, 7, 7, 16), jnp.float32),
+           "depth": jnp.zeros((2, 56, 56, 1), jnp.float32),
+           "goal": jnp.zeros((2,), jnp.int32),
+           "prev_action": jnp.zeros((2,), jnp.int32)}
+    params = policy.init(jax.random.PRNGKey(0), obs, policy.initial_state(2),
+                         jnp.zeros((2,), bool))["params"]
+    lg0, _, _ = policy.apply({"params": params}, obs, policy.initial_state(2),
+                             jnp.zeros((2,), bool))
+    obs2 = {**obs, "depth": jnp.ones((2, 56, 56, 1), jnp.float32)}
+    lg1, _, _ = policy.apply({"params": params}, obs2, policy.initial_state(2),
+                             jnp.zeros((2,), bool))
+    assert float(jnp.abs(lg1 - lg0).max()) > 1e-6, "depth is silently dropped"
+
+    for name in ("ddppo_objectnav_rgbd_clip", "ddppo_objectnav_rgbd_imagenet"):
+        exp = get_experiment(name)
+        assert exp.rgbd and exp.encoder is not None
+        exp = _dc.replace(exp, total_env_steps=32, rollout_len=4, env_batch=8,
+                          hidden=32, encoder="clip_rn_tiny",
+                          encoder_dtype="float32", ckpt_every_steps=10_000)
+        out = exp.train(output_dir=str(tmp_path / name))
+        assert out["env_steps"] >= 32 and np.isfinite(out["loss"]), name

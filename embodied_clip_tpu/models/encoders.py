@@ -201,12 +201,26 @@ class _QuantizedCLIPEncoder(FrozenEncoder):
             folded.image_size, folded.dtype,
         )
 
+    @staticmethod
+    def _use_pallas_stage1() -> bool:
+        """Fused int8 stage-1 Pallas kernel (bit-exact vs the XLA int8 graph;
+        tests/test_bottleneck_kernel.py). Default OFF: measured SLOWER than
+        XLA's int8 stage 1 on this runtime (4.8 ms vs 3.7 ms standalone at
+        batch 128 — the stage's 64-wide channels cap the MXU at ~25-50%
+        utilization and int8 Mosaic dots don't reach the MXU int8 rate, so the
+        kernel can't buy back what XLA's conv emitter already gets; STATUS.md
+        negative-results log). Opt in with ECT_PALLAS_STAGE1=1."""
+        import os
+
+        return os.environ.get("ECT_PALLAS_STAGE1", "0") == "1"
+
     def _encode_impl(self, variables, frames):
         from embodied_clip_tpu.ops.quantize import quantized_trunk_apply
 
         x = self.preprocess(frames)
         conv = quantized_trunk_apply(variables["qtrunk"], x, self.stage_sizes,
-                                     out_dtype=self.dtype)
+                                     out_dtype=self.dtype,
+                                     pallas_stage1=self._use_pallas_stage1())
         avg = jnp.mean(conv.astype(jnp.float32), axis=(1, 2)).astype(conv.dtype)
         embed = self._attnpool.apply({"params": variables["attnpool"]}, conv)
         out = {"clip_conv": conv, "clip_avgpool": avg, "clip_attnpool": embed}

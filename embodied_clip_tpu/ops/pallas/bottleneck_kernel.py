@@ -24,7 +24,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["fused_bottleneck", "fused_stage1", "supports_fused_bottleneck"]
+__all__ = ["fused_bottleneck", "fused_stage1", "fused_stage1_int8",
+           "supports_fused_bottleneck"]
 
 
 def supports_fused_bottleneck(h: int, w: int, c: int, cm: int,
@@ -194,3 +195,132 @@ def fused_stage1(x: jnp.ndarray, blocks, shortcut, batch_tile: int = 1,
         scratch_shapes=[pltpu.VMEM((bt, h + 2, w + 2, cm), dt)],
         interpret=interpret,
     )(x, *operands)
+
+
+# ---------------------------------------------------------- int8 fused whole-stage
+#
+# int8 variant of fused_stage1 for the quantized serving trunk (ops/quantize.py).
+# In the XLA int8 graph, stage 1 is epilogue-fusion-bound: each block costs
+# ~0.59 ms of serialized MXU/VPU/HBM phases around the cb3+identity+requant chain
+# (STATUS.md perf budget). Here the whole stage — 3 bottlenecks, int8 matmuls with
+# int32 accumulation, requant epilogues, the bf16 conv shortcut, and the final
+# stage-output requant — runs on VMEM-resident data: HBM traffic is exactly
+# "read x8 (int8), write out8 (int8)".
+#
+# Numerics mirror ops/quantize.quantized_trunk_apply op-for-op (same f32
+# products, same divide-by-scale, same +0.5/truncating-convert requant), so the
+# kernel differs from the XLA int8 graph only where f32 summation order differs
+# (the bf16 shortcut conv's accumulation) — LSB-level on rare near-ties.
+
+
+def _qdot(x, k):
+    """Integer-exact matmul of quantized operands.
+
+    int8 operands are computed on the MXU in bf16 with f32 accumulation —
+    EXACT for this net: int8 values are integers ≤127 (exact in bf16),
+    products ≤16129 fit f32 exactly, and the largest accumulation
+    (9·64·16129 ≈ 9.3M for cb2) is < 2^24. Mosaic's int8 dot path does not
+    reach the MXU's int8 rate on this runtime (measured), so bf16 is both
+    exact and fast."""
+    return jnp.dot(x, k, preferred_element_type=jnp.float32)
+
+
+def _qblock_cb12(x, pad_ref, k1, s1, b1, k2, s2, b2, r2, r3, h, w, cm, bt):
+    """cb1 (1x1) -> requant(/r2) -> cb2 (3x3 as 9 shifted matmuls) ->
+    requant(/r3). Quantized values ride in bf16 (integers 0..127, exact);
+    returns (bt*h*w, cm) bf16 on the r3 int8 grid."""
+    y1 = _qdot(x, k1) * s1 + b1
+    q1 = jnp.clip(y1 / r2 + 0.5, 0.0, 127.0).astype(jnp.int32).astype(jnp.bfloat16)
+    pad_ref[...] = jnp.zeros_like(pad_ref)
+    pad_ref[:, 1:h + 1, 1:w + 1, :] = q1.reshape(bt, h, w, cm)
+    acc = jnp.zeros((bt * h * w, cm), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            sl = pad_ref[:, ky:ky + h, kx:kx + w, :].reshape(bt * h * w, cm)
+            acc = acc + _qdot(sl, k2[ky, kx])
+    y2 = acc * s2 + b2
+    return jnp.clip(y2 / r3 + 0.5, 0.0, 127.0).astype(jnp.int32).astype(jnp.bfloat16)
+
+
+def _stage1_int8_kernel(x_ref, scl_ref,
+                        k1a, s1a, b1a, k2a, s2a, b2a, k3a, s3a, b3a, wsc, bsc,
+                        k1b, s1b, b1b, k2b, s2b, b2b, k3b, s3b, b3b,
+                        k1c, s1c, b1c, k2c, s2c, b2c, k3c, s3c, b3c,
+                        out_ref, pad_ref, *, h, w, cin, cm, cout, bt):
+    # scl layout: [sin, r2a, r3a, routa, r2b, r3b, routb, r2c, r3c, routc]
+    f32 = jnp.float32
+    scl = scl_ref[...]
+    xb = x_ref[...].reshape(bt * h * w, cin).astype(jnp.bfloat16)  # int8→bf16 exact
+
+    # block 0: conv shortcut in bf16 (same precision as the XLA fp path)
+    q2 = _qblock_cb12(xb, pad_ref, k1a[...], s1a[...], b1a[...],
+                      k2a[...], s2a[...], b2a[...], scl[0, 1], scl[0, 2],
+                      h, w, cm, bt)
+    y = _qdot(q2, k3a[...]) * s3a[...] + b3a[...]
+    x0f = (xb.astype(f32) * scl[0, 0]).astype(jnp.bfloat16)
+    sc = jnp.dot(x0f, wsc[...], preferred_element_type=f32) + bsc[...]
+    out = jnp.maximum(y + sc, 0.0)
+    x1 = jnp.clip(out / scl[0, 3] + 0.5, 0.0, 127.0) \
+        .astype(jnp.int32).astype(jnp.bfloat16)
+
+    # block 1: identity shortcut = dequantized x1
+    q2 = _qblock_cb12(x1, pad_ref, k1b[...], s1b[...], b1b[...],
+                      k2b[...], s2b[...], b2b[...], scl[0, 4], scl[0, 5],
+                      h, w, cm, bt)
+    y = _qdot(q2, k3b[...]) * s3b[...] + b3b[...]
+    out = jnp.maximum(y + x1.astype(f32) * scl[0, 3], 0.0)
+    x2 = jnp.clip(out / scl[0, 6] + 0.5, 0.0, 127.0) \
+        .astype(jnp.int32).astype(jnp.bfloat16)
+
+    # block 2
+    q2 = _qblock_cb12(x2, pad_ref, k1c[...], s1c[...], b1c[...],
+                      k2c[...], s2c[...], b2c[...], scl[0, 7], scl[0, 8],
+                      h, w, cm, bt)
+    y = _qdot(q2, k3c[...]) * s3c[...] + b3c[...]
+    out = jnp.maximum(y + x2.astype(f32) * scl[0, 6], 0.0)
+    out8 = jnp.clip(out / scl[0, 9] + 0.5, 0.0, 127.0).astype(jnp.int8)
+    out_ref[...] = out8.reshape(bt, h, w, cout)
+
+
+def fused_stage1_int8(x8: jnp.ndarray, ops: dict, batch_tile: int = 1,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Whole int8 CLIP-RN50 stage 1 as ONE kernel.
+
+    x8: (N, H, W, Cin) int8 (requantized stem output). ops: operand dict from
+    ops/quantize.stage1_int8_operands — int8 kernels, per-channel f32 epilogue
+    multipliers/offsets (requant scales folded in), the bf16 conv-shortcut pair
+    scaled into the output domain, and the scalar dequant ratios. Returns the
+    stage output ALREADY requantized to stage 2's input scale (N, H, W, Cout)
+    int8.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, h, w, cin = x8.shape
+    cm = ops["k2a"].shape[-1]
+    cout = ops["k3a"].shape[-1]
+    bt = batch_tile
+    assert n % bt == 0, (n, bt)
+
+    names = ["scl",
+             "k1a", "s1a", "b1a", "k2a", "s2a", "b2a", "k3a", "s3a", "b3a",
+             "wsc", "bsc",
+             "k1b", "s1b", "b1b", "k2b", "s2b", "b2b", "k3b", "s3b", "b3b",
+             "k1c", "s1c", "b1c", "k2c", "s2c", "b2c", "k3c", "s3c", "b3c"]
+    operands = [ops[nm] for nm in names]
+    in_specs = [pl.BlockSpec(a.shape, lambda i, _s=a.shape: (0,) * len(_s),
+                             memory_space=pltpu.VMEM) for a in operands]
+
+    kernel = functools.partial(_stage1_int8_kernel, h=h, w=w, cin=cin, cm=cm,
+                               cout=cout, bt=bt)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bt,),
+        in_specs=[pl.BlockSpec((bt, h, w, cin), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)] + in_specs,
+        out_specs=pl.BlockSpec((bt, h, w, cout), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, cout), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((bt, h + 2, w + 2, cm), jnp.bfloat16)],
+        interpret=interpret,
+    )(x8, *operands)

@@ -38,6 +38,7 @@ from jax import lax
 __all__ = [
     "quantize_trunk", "quantized_trunk_apply", "calibrate_trunk",
     "quantize_resnet_trunk", "quantized_resnet_apply", "calibrate_resnet_trunk",
+    "stage1_int8_operands",
 ]
 
 _QMAX = 127.0
@@ -180,10 +181,52 @@ def quantize_trunk(folded_trunk_params: Dict[str, Any], stage_sizes: Sequence[in
     return q
 
 
+def stage1_int8_operands(q: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+    """Precompute the operand dict for the fused int8 stage-1 Pallas kernel
+    (ops/pallas/bottleneck_kernel.fused_stage1_int8) from the quantized trunk
+    tree: int8 kernels (1x1s pre-squeezed), per-channel f32 epilogue scales
+    S = in_scale * w_scale and biases, the bf16 conv-shortcut pair, and a
+    packed scalar vector of the requant scales — the kernel mirrors
+    quantized_trunk_apply's f32 ops one-for-one."""
+    a = q["act_scales"]
+    names = ["layer1_0", "layer1_1", "layer1_2"]
+    letters = ["a", "b", "c"]
+    ops: Dict[str, jnp.ndarray] = {}
+    f32 = jnp.float32
+    s_prev = jnp.asarray(a["stem.out"], f32)
+    scl = [s_prev]
+    for name, L in zip(names, letters):
+        s2 = jnp.asarray(a[f"{name}/cb2.in"], f32)
+        s3 = jnp.asarray(a[f"{name}/cb3.in"], f32)
+        s_out = jnp.asarray(a[f"{name}.out"], f32)
+        scl += [s2, s3, s_out]
+        cb1, cb2, cb3 = (q[f"{name}/{c}"] for c in ("cb1", "cb2", "cb3"))
+        # int8 kernels ride as bf16 (exact: integer values ≤127) — the kernel's
+        # matmuls run on the MXU's bf16 path (see _qdot in bottleneck_kernel).
+        ops[f"k1{L}"] = cb1["kernel_q"][0, 0].astype(jnp.bfloat16)
+        ops[f"s1{L}"] = (s_prev * cb1["w_scale"]).reshape(1, -1)
+        ops[f"b1{L}"] = cb1["bias"].reshape(1, -1)
+        ops[f"k2{L}"] = cb2["kernel_q"].astype(jnp.bfloat16)
+        ops[f"s2{L}"] = (s2 * cb2["w_scale"]).reshape(1, -1)
+        ops[f"b2{L}"] = cb2["bias"].reshape(1, -1)
+        ops[f"k3{L}"] = cb3["kernel_q"][0, 0].astype(jnp.bfloat16)
+        ops[f"s3{L}"] = (s3 * cb3["w_scale"]).reshape(1, -1)
+        ops[f"b3{L}"] = cb3["bias"].reshape(1, -1)
+        if L == "a":
+            down = q["fp"][f"{name}/down"]["conv"]
+            ops["wsc"] = jnp.asarray(down["kernel"], jnp.bfloat16)[0, 0]
+            ops["bsc"] = jnp.asarray(down["bias"], f32).reshape(1, -1)
+        s_prev = s_out
+    ops["scl"] = jnp.stack(scl).astype(f32).reshape(1, -1)
+    return ops
+
+
 def quantized_trunk_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
-                          out_dtype=jnp.bfloat16):
+                          out_dtype=jnp.bfloat16, pallas_stage1: bool = False):
     """int8 trunk forward: x is the preprocessed image batch (f32/bf16 NHWC).
-    Returns the conv feature map in out_dtype."""
+    Returns the conv feature map in out_dtype. pallas_stage1 runs stage 1
+    through the fused int8 Pallas kernel (measured faster on TPU; the XLA path
+    is the portable reference)."""
     a = q["act_scales"]
 
     def fp_conv(name, t, stride=1, relu=True):
@@ -213,6 +256,14 @@ def quantized_trunk_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
     t8 = _requant(t, s_in)
 
     blocks = list(_block_names(stage_sizes))
+    if pallas_stage1 and stage_sizes[0] == 3:
+        from embodied_clip_tpu.ops.pallas.bottleneck_kernel import (
+            fused_stage1_int8,
+        )
+
+        t8 = fused_stage1_int8(t8, stage1_int8_operands(q))
+        s_in = a["layer1_2.out"]
+        blocks = blocks[3:]
     for name, stride in blocks:
         o = nn.relu(qconv(q[f"{name}/cb1"], t8, s_in))
         s2 = a[f"{name}/cb2.in"]

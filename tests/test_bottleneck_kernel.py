@@ -77,3 +77,82 @@ def test_fused_stage1_matches_xla():
         got = fused_stage1(x, blocks, sc, batch_tile=bt, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_fused_stage1_int8_matches_xla_int8_graph():
+    """The fused int8 stage-1 kernel must be BIT-EXACT vs the XLA int8 graph
+    (ops/quantize.quantized_trunk_apply's stage-1 loop): same int8 kernels,
+    same f32 epilogue products, same divide-by-scale and +0.5/truncating
+    requant. Run in interpret mode on CPU."""
+    import flax.linen as nn
+    from jax import lax
+
+    from embodied_clip_tpu.ops.pallas.bottleneck_kernel import fused_stage1_int8
+    from embodied_clip_tpu.ops.quantize import _requant, stage1_int8_operands
+
+    rng = np.random.RandomState(0)
+    cin, cm, cout, h, w, n = 64, 64, 256, 14, 14, 2
+
+    def qk(ci, co, k=1):
+        kern = rng.randn(k, k, ci, co).astype(np.float32) * 0.1
+        scale = np.abs(kern).reshape(-1, co).max(0) / 127.0 + 1e-30
+        qq = np.clip(np.round(kern / scale), -127, 127).astype(np.int8)
+        return {"kernel_q": jnp.asarray(qq), "w_scale": jnp.asarray(scale),
+                "bias": jnp.asarray(rng.randn(co).astype(np.float32) * 0.05)}
+
+    q = {"act_scales": {}, "fp": {}}
+    a = q["act_scales"]
+    a["stem.out"] = jnp.float32(2.0 / 127)
+    names = ["layer1_0", "layer1_1", "layer1_2"]
+    for i, nm in enumerate(names):
+        q[f"{nm}/cb1"] = qk(cin if i == 0 else cout, cm)
+        q[f"{nm}/cb2"] = qk(cm, cm, 3)
+        q[f"{nm}/cb3"] = qk(cm, cout)
+        a[f"{nm}/cb2.in"] = jnp.float32(1.5 / 127)
+        a[f"{nm}/cb3.in"] = jnp.float32(1.2 / 127)
+        a[f"{nm}.out"] = jnp.float32(2.5 / 127)
+    q["fp"]["layer1_0/down"] = {"conv": {
+        "kernel": jnp.asarray(rng.randn(1, 1, cin, cout).astype(np.float32) * 0.1),
+        "bias": jnp.asarray(rng.randn(cout).astype(np.float32) * 0.05)}}
+
+    def conv(x, k, pet=None):
+        kk = k.shape[0]
+        pad = [((kk - 1) // 2,) * 2] * 2
+        return lax.conv_general_dilated(
+            x, k, (1, 1), pad, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=pet)
+
+    def qconv(sub, t8, s):
+        k = sub["kernel_q"]
+        if k.shape[0] == 1:
+            out = jnp.einsum("nhwc,cd->nhwd", t8, k[0, 0],
+                             preferred_element_type=jnp.int32)
+        else:
+            out = conv(t8, k, pet=jnp.int32)
+        return out.astype(jnp.float32) * (s * sub["w_scale"]) + sub["bias"]
+
+    def ref(t8):
+        s_in = a["stem.out"]
+        for i, nm in enumerate(names):
+            o = nn.relu(qconv(q[f"{nm}/cb1"], t8, s_in))
+            o = nn.relu(qconv(q[f"{nm}/cb2"],
+                              _requant(o, a[f"{nm}/cb2.in"]), a[f"{nm}/cb2.in"]))
+            o = qconv(q[f"{nm}/cb3"],
+                      _requant(o, a[f"{nm}/cb3.in"]), a[f"{nm}/cb3.in"])
+            if i == 0:
+                sub = q["fp"]["layer1_0/down"]["conv"]
+                idt = conv((t8.astype(jnp.float32) * s_in).astype(jnp.bfloat16),
+                           jnp.asarray(sub["kernel"], jnp.bfloat16)
+                           ).astype(jnp.float32) + sub["bias"]
+            else:
+                idt = t8.astype(jnp.float32) * s_in
+            s_in = a[f"{nm}.out"]
+            t8 = _requant(nn.relu(o + idt), s_in)
+        return t8
+
+    x8 = jnp.asarray(rng.randint(0, 90, (n, h, w, cin)), jnp.int8)
+    want = np.asarray(jax.jit(ref)(x8))
+    ops = jax.jit(lambda: stage1_int8_operands(q))()
+    for bt in (1, 2):
+        got = np.asarray(fused_stage1_int8(x8, ops, batch_tile=bt, interpret=True))
+        np.testing.assert_array_equal(got, want)

@@ -214,13 +214,26 @@ class _QuantizedCLIPEncoder(FrozenEncoder):
 
         return os.environ.get("ECT_PALLAS_STAGE1", "0") == "1"
 
+    @staticmethod
+    def _use_pallas_resblocks() -> bool:
+        """Fused wide-channel identity-resblock Pallas kernel for stages 2-4
+        (bit-exact vs the XLA int8 graph). Default OFF: measured 2.2x slower
+        than XLA's fused int8 graph on this runtime (stage-3 5-block run:
+        2.3 ms pallas vs 1.03 ms XLA — the halo slicing and f32 epilogues
+        don't pipeline; see STATUS.md). Kept as a measured, bit-exact
+        alternative; enable with ECT_PALLAS_RESBLOCKS=1."""
+        import os
+
+        return os.environ.get("ECT_PALLAS_RESBLOCKS", "0") == "1"
+
     def _encode_impl(self, variables, frames):
         from embodied_clip_tpu.ops.quantize import quantized_trunk_apply
 
         x = self.preprocess(frames)
         conv = quantized_trunk_apply(variables["qtrunk"], x, self.stage_sizes,
                                      out_dtype=self.dtype,
-                                     pallas_stage1=self._use_pallas_stage1())
+                                     pallas_stage1=self._use_pallas_stage1(),
+                                     pallas_resblocks=self._use_pallas_resblocks())
         avg = jnp.mean(conv.astype(jnp.float32), axis=(1, 2)).astype(conv.dtype)
         embed = self._attnpool.apply({"params": variables["attnpool"]}, conv)
         out = {"clip_conv": conv, "clip_avgpool": avg, "clip_attnpool": embed}

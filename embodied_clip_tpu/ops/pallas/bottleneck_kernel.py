@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["fused_bottleneck", "fused_stage1", "fused_stage1_int8",
-           "supports_fused_bottleneck"]
+           "fused_resblocks_int8", "supports_fused_bottleneck"]
 
 
 def supports_fused_bottleneck(h: int, w: int, c: int, cm: int,
@@ -296,6 +296,7 @@ def fused_stage1_int8(x8: jnp.ndarray, ops: dict, batch_tile: int = 1,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    interpret = interpret or jax.default_backend() == "cpu"
     n, h, w, cin = x8.shape
     cm = ops["k2a"].shape[-1]
     cout = ops["k3a"].shape[-1]
@@ -322,5 +323,124 @@ def fused_stage1_int8(x8: jnp.ndarray, ops: dict, batch_tile: int = 1,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w, cout), jnp.int8),
         scratch_shapes=[pltpu.VMEM((bt, h + 2, w + 2, cm), jnp.bfloat16)],
+        interpret=interpret,
+    )(x8, *operands)
+
+
+# ------------------------------------------------- int8 fused identity resblocks
+#
+# Generalization of the stage-1 kernel to the stride-1 IDENTITY bottlenecks of
+# stages 2-4, where the channel widths (cm 128-512, cin 512-2048) keep the MXU
+# fully utilized — measured on this runtime: int8 Mosaic dots reach ~490 TOP/s
+# at (6272,1024)x(1024,1024) (vs ~595 for XLA's dot, ~250 TF/s bf16), while
+# the stage-1 geometry (64-wide) runs the same kernel structure at <25% MXU.
+# Each stage's block 0 (stride-2 pool + conv shortcut) stays on XLA; this
+# kernel fuses the remaining k blocks into one VMEM-resident pass whose HBM
+# traffic is "read x8, write out8" (both int8).
+#
+# Numerics mirror ops/quantize.quantized_trunk_apply op-for-op (int8 MXU
+# accumulation is exact in i32; epilogues reuse the same f32 products,
+# divide-by-scale, +0.5/truncating-convert requant) — bit-exact vs the XLA
+# int8 graph (tests/test_bottleneck_kernel.py).
+
+
+def _resblock_i8(xq, pad_ref, k1, s1, b1, k2, s2, b2, k3, s3, b3,
+                 r_in, r2, r3, r_out, h, w, cm, bt, last, carrier):
+    """carrier: the VMEM dtype quantized values ride in. int8 uses the MXU
+    int8 path; bf16 is integer-exact for these magnitudes (see _qdot) and
+    avoids int8's coarser sublane granularity in the halo slicing."""
+    f32 = jnp.float32
+    acc_t = jnp.int32 if carrier == jnp.int8 else f32
+    bhw = bt * h * w
+    a1 = jnp.dot(xq, k1, preferred_element_type=acc_t)
+    q1 = jnp.clip((a1.astype(f32) * s1 + b1) / r2 + 0.5, 0.0, 127.0)
+    q1 = q1.astype(jnp.int32).astype(carrier) if carrier != jnp.int8 \
+        else q1.astype(carrier)
+    pad_ref[...] = jnp.zeros_like(pad_ref)
+    pad_ref[:, 1:h + 1, 1:w + 1, :] = q1.reshape(bt, h, w, cm)
+    acc = jnp.zeros((bhw, cm), acc_t)
+    for ky in range(3):
+        for kx in range(3):
+            sl = pad_ref[:, ky:ky + h, kx:kx + w, :].reshape(bhw, cm)
+            acc = acc + jnp.dot(sl, k2[ky, kx], preferred_element_type=acc_t)
+    q2 = jnp.clip((acc.astype(f32) * s2 + b2) / r3 + 0.5, 0.0, 127.0)
+    q2 = q2.astype(jnp.int32).astype(carrier) if carrier != jnp.int8 \
+        else q2.astype(carrier)
+    y3 = jnp.dot(q2, k3, preferred_element_type=acc_t).astype(f32) * s3 + b3
+    out = jnp.maximum(y3 + xq.astype(f32) * r_in, 0.0)
+    if last:
+        return out  # caller applies the final requant / dtype
+    nxt = jnp.clip(out / r_out + 0.5, 0.0, 127.0)
+    return nxt.astype(jnp.int32).astype(carrier) if carrier != jnp.int8 \
+        else nxt.astype(carrier)
+
+
+def _resblocks_kernel(*refs, nb, h, w, cin, cm, bt, out_int8, carrier):
+    x_ref, scl_ref = refs[0], refs[1]
+    out_ref = refs[2 + 9 * nb]
+    pad_ref = refs[3 + 9 * nb]
+    scl = scl_ref[...]
+    xq = x_ref[...].reshape(bt * h * w, cin).astype(carrier)
+    for i in range(nb):
+        k1, s1, b1, k2, s2, b2, k3, s3, b3 = \
+            (r[...] for r in refs[2 + 9 * i:11 + 9 * i])
+        r_in = scl[0, 0] if i == 0 else scl[0, 3 * i]
+        r2, r3, r_out = scl[0, 3 * i + 1], scl[0, 3 * i + 2], scl[0, 3 * i + 3]
+        last = i == nb - 1
+        xq = _resblock_i8(xq, pad_ref, k1, s1, b1, k2, s2, b2, k3, s3, b3,
+                          r_in, r2, r3, r_out, h, w, cm, bt, last, carrier)
+    if out_int8:
+        xq = jnp.clip(xq / scl[0, 3 * nb] + 0.5, 0.0, 127.0).astype(jnp.int8)
+        out_ref[...] = xq.reshape(bt, h, w, cin)
+    else:
+        out_ref[...] = xq.reshape(bt, h, w, cin).astype(out_ref.dtype)
+
+
+def fused_resblocks_int8(x8: jnp.ndarray, block_ops, scl: jnp.ndarray,
+                         batch_tile: int = 1, out_dtype=jnp.int8,
+                         carrier=jnp.int8,
+                         interpret: bool = False) -> jnp.ndarray:
+    """k consecutive stride-1 identity bottlenecks of the int8 trunk as ONE
+    kernel.
+
+    x8: (N, H, W, C) int8 on scale scl[0]. block_ops: list of per-block dicts
+    {k1 (C,Cm) int8, s1, b1, k2 (3,3,Cm,Cm) int8, s2, b2, k3 (Cm,C) int8, s3,
+    b3} with s* the per-channel f32 epilogue scales (in_scale*w_scale) and b*
+    the f32 biases. scl: (1, 3k+1) f32 = [r_in, (r2, r3, r_out) x k]; the last
+    r_out requantizes the output when out_dtype is int8; pass out_dtype
+    bf16/f32 for a trunk-final (conv map) output, which skips it.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = interpret or jax.default_backend() == "cpu"
+    n, h, w, cin = x8.shape
+    nb = len(block_ops)
+    cm = block_ops[0]["k2"].shape[-1]
+    bt = batch_tile
+    assert n % bt == 0, (n, bt)
+    out_int8 = out_dtype == jnp.int8
+
+    operands = [scl.astype(jnp.float32)]
+    for blk in block_ops:
+        for key in ("k1", "s1", "b1", "k2", "s2", "b2", "k3", "s3", "b3"):
+            a = blk[key]
+            if key.startswith("k") and carrier != jnp.int8:
+                a = a.astype(carrier)  # integer values — exact in bf16
+            operands.append(a)
+    in_specs = [pl.BlockSpec(a.shape, lambda i, _s=a.shape: (0,) * len(_s),
+                             memory_space=pltpu.VMEM) for a in operands]
+
+    kernel = functools.partial(_resblocks_kernel, nb=nb, h=h, w=w, cin=cin,
+                               cm=cm, bt=bt, out_int8=out_int8, carrier=carrier)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bt,),
+        in_specs=[pl.BlockSpec((bt, h, w, cin), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)] + in_specs,
+        out_specs=pl.BlockSpec((bt, h, w, cin), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, cin), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bt, h + 2, w + 2, cm), carrier)],
         interpret=interpret,
     )(x8, *operands)

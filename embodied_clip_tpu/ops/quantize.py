@@ -221,12 +221,67 @@ def stage1_int8_operands(q: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
     return ops
 
 
+# Minimum bottleneck width for the fused identity-resblocks Pallas kernel:
+# narrower stages run the kernel structure at <25% MXU (STATUS.md stage-1
+# measurement). Module-level so tests can exercise the fused path on tiny
+# trunks.
+PALLAS_RESBLOCKS_MIN_CM = 128
+
+
+def resblocks_int8_operands(q: Dict[str, Any], names: Sequence[str],
+                            s_in, s_next):
+    """Operand prep for the fused identity-resblocks Pallas kernel
+    (ops/pallas/bottleneck_kernel.fused_resblocks_int8): per-block int8
+    kernels (1x1s pre-squeezed) + f32 epilogue scales S = in_scale*w_scale and
+    biases, plus the packed requant-scale vector [r_in, (r2, r3, r_out) x k]
+    whose final entry is `s_next` (the scale the stage output requantizes to —
+    the next stage's input scale)."""
+    a = q["act_scales"]
+    f32 = jnp.float32
+    blocks = []
+    scl = [jnp.asarray(s_in, f32)]
+    s_prev = jnp.asarray(s_in, f32)
+    for i, name in enumerate(names):
+        s2 = jnp.asarray(a[f"{name}/cb2.in"], f32)
+        s3 = jnp.asarray(a[f"{name}/cb3.in"], f32)
+        s_out = jnp.asarray(s_next if i == len(names) - 1
+                            else a[f"{name}.out"], f32)
+        cb1, cb2, cb3 = (q[f"{name}/{c}"] for c in ("cb1", "cb2", "cb3"))
+        blocks.append({
+            "k1": cb1["kernel_q"][0, 0],
+            "s1": (s_prev * cb1["w_scale"]).reshape(1, -1),
+            "b1": cb1["bias"].reshape(1, -1),
+            "k2": cb2["kernel_q"],
+            "s2": (s2 * cb2["w_scale"]).reshape(1, -1),
+            "b2": cb2["bias"].reshape(1, -1),
+            "k3": cb3["kernel_q"][0, 0],
+            "s3": (s3 * cb3["w_scale"]).reshape(1, -1),
+            "b3": cb3["bias"].reshape(1, -1),
+        })
+        scl += [s2, s3, s_out]
+        s_prev = s_out
+    return blocks, jnp.stack(scl).astype(f32).reshape(1, -1)
+
+
+def _resblocks_batch_tile(shape) -> int:
+    """Batch tile keeping one program's activations VMEM-resident: the f32
+    pre-residual intermediate (h·w·c·4 bytes) is the big term; target ~3 MB."""
+    n, h, w, c = shape
+    bt = max(1, (2 * 28 * 28 * 512) // (h * w * c))
+    while n % bt:
+        bt -= 1
+    return bt
+
+
 def quantized_trunk_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
-                          out_dtype=jnp.bfloat16, pallas_stage1: bool = False):
+                          out_dtype=jnp.bfloat16, pallas_stage1: bool = False,
+                          pallas_resblocks: bool = False):
     """int8 trunk forward: x is the preprocessed image batch (f32/bf16 NHWC).
     Returns the conv feature map in out_dtype. pallas_stage1 runs stage 1
-    through the fused int8 Pallas kernel (measured faster on TPU; the XLA path
-    is the portable reference)."""
+    through the fused int8 Pallas kernel (not a win on this runtime — see
+    STATUS.md); pallas_resblocks runs each later stage's stride-1 identity
+    bottlenecks through the fused wide-channel int8 kernel (block 0 of each
+    stage — stride pool + conv shortcut — stays on XLA)."""
     a = q["act_scales"]
 
     def fp_conv(name, t, stride=1, relu=True):
@@ -264,7 +319,40 @@ def quantized_trunk_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
         t8 = fused_stage1_int8(t8, stage1_int8_operands(q))
         s_in = a["layer1_2.out"]
         blocks = blocks[3:]
-    for name, stride in blocks:
+
+    def _identity_run(i):
+        """Length of the run of fusable identity blocks starting at i: stride
+        1, no conv shortcut, cm >= PALLAS_RESBLOCKS_MIN_CM (narrower stages
+        lose on the MXU — STATUS.md stage-1 kernel measurement)."""
+        j = i
+        while (j < len(blocks) and blocks[j][1] == 1
+               and f"{blocks[j][0]}/down" not in q["fp"]
+               and (q[f"{blocks[j][0]}/cb2"]["kernel_q"].shape[-1]
+                    >= PALLAS_RESBLOCKS_MIN_CM)):
+            j += 1
+        return j - i
+
+    i = 0
+    while i < len(blocks):
+        name, stride = blocks[i]
+        if pallas_resblocks and (run := _identity_run(i)) > 0:
+            from embodied_clip_tpu.ops.pallas.bottleneck_kernel import (
+                fused_resblocks_int8,
+            )
+
+            names = [blocks[i + k][0] for k in range(run)]
+            is_final = i + run == len(blocks)
+            s_next = 1.0 if is_final else a[f"{names[-1]}.out"]
+            ops, scl = resblocks_int8_operands(q, names, s_in, s_next)
+            bt = _resblocks_batch_tile(t8.shape)
+            if is_final:
+                return fused_resblocks_int8(t8, ops, scl, batch_tile=bt,
+                                            out_dtype=out_dtype)
+            t8 = fused_resblocks_int8(t8, ops, scl, batch_tile=bt)
+            s_in = jnp.asarray(s_next, jnp.float32)
+            i += run
+            continue
+
         o = nn.relu(qconv(q[f"{name}/cb1"], t8, s_in))
         s2 = a[f"{name}/cb2.in"]
         o = nn.relu(qconv(q[f"{name}/cb2"], _requant(o, s2), s2))
@@ -287,6 +375,7 @@ def quantized_trunk_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
             return out.astype(out_dtype)  # conv map: no final requant round-trip
         s_in = a[f"{name}.out"]
         t8 = _requant(out, s_in)
+        i += 1
 
 
 # ------------------------------------------------- torchvision ResNet (imagenet) --

@@ -156,3 +156,115 @@ def test_fused_stage1_int8_matches_xla_int8_graph():
     for bt in (1, 2):
         got = np.asarray(fused_stage1_int8(x8, ops, batch_tile=bt, interpret=True))
         np.testing.assert_array_equal(got, want)
+
+
+def _mk_identity_stage(rng, cin, cm, nb, prefix="layer3"):
+    """Tiny int8 qtrunk fragment: nb stride-1 identity bottlenecks."""
+    def qk(ci, co, k=1):
+        kern = rng.randn(k, k, ci, co).astype(np.float32) * (1 / np.sqrt(k * k * ci))
+        scale = np.abs(kern).reshape(-1, co).max(0) / 127.0 + 1e-30
+        qq = np.clip(np.round(kern / scale), -127, 127).astype(np.int8)
+        return {"kernel_q": jnp.asarray(qq), "w_scale": jnp.asarray(scale),
+                "bias": jnp.asarray(rng.randn(co).astype(np.float32) * 0.05)}
+
+    q = {"act_scales": {}, "fp": {}}
+    a = q["act_scales"]
+    names = [f"{prefix}_{i}" for i in range(1, nb + 1)]
+    for nm in names:
+        q[f"{nm}/cb1"] = qk(cin, cm)
+        q[f"{nm}/cb2"] = qk(cm, cm, 3)
+        q[f"{nm}/cb3"] = qk(cm, cin)
+        a[f"{nm}/cb2.in"] = jnp.float32(1.5 / 127)
+        a[f"{nm}/cb3.in"] = jnp.float32(1.2 / 127)
+        a[f"{nm}.out"] = jnp.float32(2.1 / 127)
+    return q, names
+
+
+def test_fused_resblocks_int8_matches_xla_int8_graph():
+    """fused_resblocks_int8 (identity bottlenecks of stages 2-4 as one VMEM-
+    resident kernel) must be BIT-EXACT vs the XLA int8 block loop, for both
+    the int8-out (mid-trunk) and bf16-out (trunk-final conv map) epilogues and
+    both VMEM carriers. Interpret mode on CPU."""
+    import flax.linen as nn
+    from jax import lax
+
+    from embodied_clip_tpu.ops.pallas.bottleneck_kernel import fused_resblocks_int8
+    from embodied_clip_tpu.ops.quantize import _requant, resblocks_int8_operands
+
+    rng = np.random.RandomState(2)
+    cin, cm, h, w, n, nb = 32, 16, 6, 6, 2, 3
+    q, names = _mk_identity_stage(rng, cin, cm, nb)
+    a = q["act_scales"]
+    s_in = jnp.float32(1.8 / 127)
+
+    def qconv(sub, t8, s):
+        k = sub["kernel_q"]
+        if k.shape[0] == 1:
+            out = jnp.einsum("nhwc,cd->nhwd", t8, k[0, 0],
+                             preferred_element_type=jnp.int32)
+        else:
+            out = lax.conv_general_dilated(
+                t8, k, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+        return out.astype(jnp.float32) * (s * sub["w_scale"]) + sub["bias"]
+
+    def ref(t8, final_bf16):
+        s = s_in
+        for i, nm in enumerate(names):
+            o = nn.relu(qconv(q[f"{nm}/cb1"], t8, s))
+            o = nn.relu(qconv(q[f"{nm}/cb2"],
+                              _requant(o, a[f"{nm}/cb2.in"]), a[f"{nm}/cb2.in"]))
+            o = qconv(q[f"{nm}/cb3"],
+                      _requant(o, a[f"{nm}/cb3.in"]), a[f"{nm}/cb3.in"])
+            out = nn.relu(o + t8.astype(jnp.float32) * s)
+            if final_bf16 and i == nb - 1:
+                return out.astype(jnp.bfloat16)
+            s = a[f"{nm}.out"]
+            t8 = _requant(out, s)
+        return t8
+
+    x8 = jnp.asarray(rng.randint(0, 90, (n, h, w, cin)), jnp.int8)
+    s_next = a[f"{names[-1]}.out"]
+
+    # mid-trunk: int8 output on s_next
+    want8 = np.asarray(jax.jit(lambda t: ref(t, False))(x8))
+    ops, scl = jax.jit(lambda: resblocks_int8_operands(q, names, s_in, s_next))()
+    for carrier in (jnp.int8, jnp.bfloat16):
+        for bt in (1, 2):
+            got = np.asarray(fused_resblocks_int8(
+                x8, ops, scl, batch_tile=bt, carrier=carrier, interpret=True))
+            np.testing.assert_array_equal(got, want8, err_msg=str((carrier, bt)))
+
+    # trunk-final: bf16 conv-map output skips the last requant
+    want16 = np.asarray(jax.jit(lambda t: ref(t, True))(x8), np.float32)
+    ops, scl = jax.jit(lambda: resblocks_int8_operands(q, names, s_in, 1.0))()
+    got = np.asarray(fused_resblocks_int8(
+        x8, ops, scl, batch_tile=1, out_dtype=jnp.bfloat16, interpret=True),
+        np.float32)
+    np.testing.assert_array_equal(got, want16)
+
+
+def test_quantized_trunk_pallas_resblocks_integration():
+    """quantized_trunk_apply(pallas_resblocks=True) routes qualifying identity
+    runs through the fused kernel and stays bit-exact vs the XLA path end to
+    end (tiny clip trunk; the min-cm gate is lowered to cover its widths)."""
+    from embodied_clip_tpu.models.encoders import build_encoder
+    from embodied_clip_tpu.ops import quantize as qz
+
+    rng = np.random.RandomState(3)
+    frames = rng.randint(0, 256, (2, 160, 160, 3), np.uint8)
+    enc = build_encoder("clip_rn_tiny", dtype=jnp.float32).fold_bn()
+    qenc = enc.quantize(frames)
+
+    x = qenc.preprocess(jnp.asarray(frames))
+    old = qz.PALLAS_RESBLOCKS_MIN_CM
+    try:
+        qz.PALLAS_RESBLOCKS_MIN_CM = 1
+        fused = qz.quantized_trunk_apply(qenc.qtrunk, x, qenc.stage_sizes,
+                                         pallas_resblocks=True)
+    finally:
+        qz.PALLAS_RESBLOCKS_MIN_CM = old
+    plain = qz.quantized_trunk_apply(qenc.qtrunk, x, qenc.stage_sizes)
+    np.testing.assert_array_equal(np.asarray(fused, np.float32),
+                                  np.asarray(plain, np.float32))

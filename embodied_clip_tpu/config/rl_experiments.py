@@ -71,6 +71,12 @@ class NavRLExperiment(Experiment):
     # baselines_habitat.md:63-69). >1 builds a ('dp','mp') mesh: env batch /
     # rollout sharded over dp, params replicated, gradient psum over ICI.
     dp: int = 1
+    # Host-rollout double-buffering (BASELINE.md pipeline north star): split the
+    # worker pool into this many groups and software-pipeline them — the device
+    # act step (frozen encode + policy) for one group overlaps the other groups'
+    # simulator steps. 1 = sequential act→step. PPO backends only (DAgger's
+    # synchronous expert queries can't pipeline).
+    pipeline_groups: int = 1
 
     def _lr_decay_updates(self) -> int:
         """Resolve the lr_decay_updates convention: -1 = linear decay to zero
@@ -376,7 +382,19 @@ class NavRLExperiment(Experiment):
         env_fns, frame_shape = self._host_env_fns()
         # DAgger has no straggler-cutoff semantics (expert queries are synchronous).
         cutoff = 1.0 if self.algo == "dagger" else self.straggler_cutoff
-        venv = VectorEnv(env_fns, frame_shape=frame_shape, cutoff_fraction=cutoff)
+        groups = self.pipeline_groups if self.algo != "dagger" else 1
+        groups = max(1, min(groups, len(env_fns)))
+        if groups == 1:
+            venv = VectorEnv(env_fns, frame_shape=frame_shape, cutoff_fraction=cutoff)
+            venvs = venv
+        else:
+            # Double-buffered host rollouts: one pool per pipeline group; the
+            # collector overlaps device act steps with the other groups' env steps.
+            bounds = [len(env_fns) * g // groups for g in range(groups + 1)]
+            pools = [VectorEnv(env_fns[bounds[g]:bounds[g + 1]],
+                               frame_shape=frame_shape, cutoff_fraction=cutoff)
+                     for g in range(groups)]
+            venv, venvs = pools[0], pools
         try:
             from embodied_clip_tpu.models.policy import ActorCritic
 
@@ -404,8 +422,8 @@ class NavRLExperiment(Experiment):
                     epochs=self.ppo_epochs, aggregate_size=self.dagger_aggregate),
                     encode_fn=encode, mesh=self._mesh())
             else:
-                learner = HostPPOLearner(venv, policy, DDPPOConfig(
-                    rollout_len=self.rollout_len, env_batch=venv.n,
+                learner = HostPPOLearner(venvs, policy, DDPPOConfig(
+                    rollout_len=self.rollout_len, env_batch=len(env_fns),
                     num_minibatches=self.num_minibatches,
                     ppo=PPOConfig(lr=self.lr, epochs=self.ppo_epochs,
                                   lr_decay_updates=self._lr_decay_updates())),
@@ -432,7 +450,7 @@ class NavRLExperiment(Experiment):
 
                         params = replicate(params, mesh)
                         opt_state = replicate(opt_state, mesh)
-            steps_per_iter = self.rollout_len * venv.n
+            steps_per_iter = self.rollout_len * len(env_fns)
             last_ckpt = env_steps
             metrics = {}
             writer = None
@@ -468,7 +486,8 @@ class NavRLExperiment(Experiment):
             out["env_steps"] = env_steps
             return out
         finally:
-            venv.close()
+            for pool in (venvs if isinstance(venvs, list) else [venvs]):
+                pool.close()
 
     # ------------------------------------------------------------------------ eval
 
@@ -582,7 +601,8 @@ class NavRLExperiment(Experiment):
                 class_names=list(ROBOTHOR_OBJECT_TYPES),
             )
         finally:
-            venv.close()
+            for pool in (venvs if isinstance(venvs, list) else [venvs]):
+                pool.close()
 
 
 class _GoalMappedEnv:

@@ -28,11 +28,15 @@ class HostPPOLearner:
     def __init__(self, venv, policy, cfg: DDPPOConfig,
                  encode_fn: Optional[Callable] = None,
                  goal_map_fn: Optional[Callable] = None, mesh=None):
-        self.venv = venv
+        """`venv` may be a single VectorEnv or a list of pools; with several, the
+        collector double-buffers — device act steps for one group overlap the
+        other groups' simulator steps (BASELINE.md pipeline north star)."""
         self.policy = policy
         self.cfg = cfg
         self.mesh = mesh
         self.collector = HostRolloutCollector(venv, policy, encode_fn, goal_map_fn)
+        self.venv = self.collector.venv
+        self.num_envs = self.collector.num_envs
         if cfg.ppo.lr_decay_updates > 0:
             lr = optax.linear_schedule(cfg.ppo.lr, 0.0, cfg.ppo.lr_decay_updates)
         else:
@@ -50,7 +54,7 @@ class HostPPOLearner:
         obs0 = self.collector._policy_obs(
             self.collector._obs, self.collector._prev_action
         )
-        n = self.venv.n
+        n = self.num_envs
         params = self.policy.init(
             key, obs0, self.policy.initial_state(n), jnp.zeros((n,), bool)
         )["params"]
@@ -80,15 +84,18 @@ class HostPPOLearner:
         return params, opt_state, metrics
 
     def train_iteration(self, params, opt_state) -> Tuple[dict, optax.OptState, Dict]:
+        import time
+
         timer = self.collector.timer
+        t_start = time.perf_counter()
         rollout, last_value, env_metrics = self.collector.collect(
             params, self.cfg.rollout_len
         )
         if self.mesh is not None:
             from embodied_clip_tpu.parallel.mesh import shard_time_major
 
-            rollout = shard_time_major(rollout, self.mesh, batch=self.venv.n)
-            last_value = shard_time_major(last_value, self.mesh, batch=self.venv.n)
+            rollout = shard_time_major(rollout, self.mesh, batch=self.num_envs)
+            last_value = shard_time_major(last_value, self.mesh, batch=self.num_envs)
         with timer.stage("update"):
             params, opt_state, loss_metrics = self._update(
                 params, opt_state, rollout, last_value
@@ -96,13 +103,15 @@ class HostPPOLearner:
             loss_metrics = {k: float(v) for k, v in loss_metrics.items()}  # block
         metrics = dict(env_metrics)
         metrics.update(loss_metrics)
-        steps = float(self.cfg.rollout_len * self.venv.n)
+        steps = float(self.cfg.rollout_len * self.num_envs)
         metrics["env_steps"] = steps
         # Per-stage timing as first-class trainer metrics (SURVEY.md §5):
         # act/env_step/update seconds + fractions, and end-to-end env-steps/s.
+        # True elapsed wall time, not the stage-sum: with pipelined env groups
+        # the act and env_step stages overlap in wall time.
         summ = timer.summary()
-        wall = sum(summ[k] for k in summ if k.endswith("_s"))
         metrics.update(summ)
+        wall = time.perf_counter() - t_start
         metrics["env_steps_per_s"] = steps / max(wall, 1e-9)
         timer.reset()
         return params, opt_state, metrics

@@ -281,3 +281,71 @@ def test_host_learner_publishes_stage_timing_metrics(tmp_path):
     assert abs(out["act_frac"] + out["env_step_frac"] + out["update_frac"] - 1.0) < 1e-6
     assert glob.glob(str(tmp_path / "logs" / exp.name / "events.out.tfevents*")), \
         "no TB event file written"
+
+
+def test_pipelined_host_rollout_collection():
+    """Double-buffered collection over two env groups (BASELINE.md pipeline
+    north star): the concatenated (T, B) rollout must hold per-column coherent
+    trajectories — each env's observed counter advances by exactly one per row,
+    exactly as a single pool would produce."""
+    fns_a = [lambda: _SlowCounterEnv() for _ in range(2)]
+    fns_b = [lambda: _SlowCounterEnv() for _ in range(2)]
+    venv_a = VectorEnv(fns_a, frame_shape=(4, 4, 3))
+    venv_b = VectorEnv(fns_b, frame_shape=(4, 4, 3))
+    try:
+        policy = ActorCritic(num_actions=2, goal_kind="none", hidden=16,
+                             visual_is_map=False)
+
+        def encode(frames_u8):
+            x = frames_u8.astype(jnp.float32) / 255.0
+            return x.reshape(x.shape[0], -1)
+
+        collector = HostRolloutCollector([venv_a, venv_b], policy,
+                                         encode_fn=encode)
+        assert collector.num_envs == 4
+        collector.reset(jax.random.PRNGKey(0))
+        obs0 = collector._policy_obs(collector._obs, collector._prev_action)
+        assert obs0["visual"].shape[0] == 4  # concatenated across groups
+        params = policy.init(jax.random.PRNGKey(1), obs0,
+                             policy.initial_state(4), jnp.zeros((4,), bool))["params"]
+        T = 9
+        rollout, last_value, _ = collector.collect(params, num_steps=T)
+        assert rollout.actions.shape == (T, 4)
+        assert last_value.shape == (4,)
+        assert bool(rollout.valid.all())
+        # Column-coherent trajectories: counter obs advance 0,1,2,... per env.
+        counts = np.asarray(rollout.obs["count"])
+        for col in range(4):
+            np.testing.assert_array_equal(counts[:, col], np.arange(T))
+        # A second collect continues from the live state (counter keeps going).
+        rollout2, _, _ = collector.collect(params, num_steps=3)
+        counts2 = np.asarray(rollout2.obs["count"])
+        for col in range(4):
+            np.testing.assert_array_equal(counts2[:, col], T + np.arange(3))
+        # PPO machinery consumes the pipelined rollout unchanged.
+        from embodied_clip_tpu.training.ppo import PPOConfig, compute_gae, ppo_loss
+
+        adv, ret = compute_gae(rollout.rewards, rollout.values, rollout.dones,
+                               last_value, 0.99, 0.95, valid=rollout.valid)
+        loss, _ = jax.jit(
+            lambda p: ppo_loss(p, policy.apply, rollout, adv, ret, PPOConfig())
+        )(params)
+        assert np.isfinite(float(loss))
+    finally:
+        venv_a.close()
+        venv_b.close()
+
+
+def test_hostgrid_pipeline_groups_trains(tmp_path):
+    """pipeline_groups=2 splits the worker pool into two software-pipelined
+    VectorEnvs end-to-end through NavRLExperiment."""
+    from embodied_clip_tpu.config.rl_experiments import NavRLExperiment
+
+    exp = NavRLExperiment(
+        name="hostgrid_pipe", backend="hostgrid", encoder=None,
+        total_env_steps=64, rollout_len=8, hidden=32, num_workers=4,
+        pipeline_groups=2, ckpt_every_steps=10 ** 9,
+    )
+    out = exp.train(output_dir=str(tmp_path))
+    assert out["env_steps"] >= 64
+    assert np.isfinite(out["loss"])

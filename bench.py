@@ -58,8 +58,18 @@ def main():
         enc.preprocess = dataclasses.replace(enc.preprocess, resize_matmul_dtype=resize_dtype)
 
     rng = np.random.RandomState(0)
+    # Flat-channels (n, h, w*3) staging: the layout the fused preprocess kernel
+    # consumes — a free host-side view of the contiguous NHWC buffer, which
+    # removes the on-device uint8 relayout copy, with the row-major device
+    # layout encode()'s flat path pins at the jit boundary (models/encoders.py).
+    from embodied_clip_tpu.models.encoders import _row_major_format
+
+    fmt = _row_major_format(3)
     bufs = [
-        jax.device_put(jnp.asarray(rng.randint(0, 256, (batch, 300, 300, 3), np.uint8)))
+        jax.device_put(
+            jnp.asarray(rng.randint(0, 256, (batch, 300, 300, 3), np.uint8)
+                        .reshape(batch, 300, 900)),
+            *( [fmt] if fmt is not None else [] ))
         for _ in range(2)
     ]
     _drain(enc.encode(bufs[0]))  # compile + warm

@@ -51,6 +51,21 @@ ENCODER_SPECS = {
 }
 
 
+def _row_major_format(ndim: int):
+    """A jit in_shardings entry pinning a parameter to the default row-major
+    tiled layout on the local device, or None where the layout API/backend
+    doesn't support it (cpu tests, older jax)."""
+    try:
+        if jax.default_backend() != "tpu":
+            return None
+        from jax.experimental.layout import Format, Layout
+
+        return Format(Layout(major_to_minor=tuple(range(ndim))),
+                      jax.sharding.SingleDeviceSharding(jax.devices()[0]))
+    except Exception:
+        return None
+
+
 class FrozenEncoder:
     """A frozen encoder: module + variables + fused preprocess, with a jitted
     `encode(frames_u8)` (features are stop_gradient'd — the reference freeze recipe,
@@ -74,6 +89,7 @@ class FrozenEncoder:
 
             self.preprocess = _dc.replace(self.preprocess, use_pallas=True)
         self._encode = jax.jit(self._encode_impl)
+        self._encode_flat = None  # built lazily (needs a concrete device)
 
     # -- pure function (jit target) ------------------------------------------------
 
@@ -100,8 +116,33 @@ class FrozenEncoder:
     # -- public API ------------------------------------------------------------------
 
     def encode(self, frames) -> Dict[str, jnp.ndarray]:
-        """uint8 NHWC frames (any HxW) → feature dict on device."""
+        """uint8 NHWC frames (any HxW) → feature dict on device.
+
+        Host numpy batches are shipped in the flat-channels (n, h, w*3) layout —
+        a free view of a contiguous NHWC buffer — which the fused preprocess
+        kernel consumes without the on-device uint8 relayout XLA otherwise
+        inserts (ops/preprocess.py). Flat batches additionally run through a jit
+        instance whose entry layout is pinned row-major: left to itself, XLA's
+        layout assignment picks a batch-minor parameter layout and inserts a
+        0.15 ms copy in front of the preprocess kernel (measured, batch 128)."""
+        import numpy as np
+
+        if (isinstance(frames, np.ndarray) and frames.ndim == 4
+                and frames.shape[-1] == 3 and frames.dtype == np.uint8
+                and frames.flags.c_contiguous):
+            n, h, w, c = frames.shape
+            frames = frames.reshape(n, h, w * c)
+        if frames.ndim == 3 and frames.shape[-1] != 3:
+            return self._flat_encode()(self.variables, frames)
         return self._encode(self.variables, frames)
+
+    def _flat_encode(self):
+        if self._encode_flat is None:
+            fmt = _row_major_format(3)
+            self._encode_flat = (jax.jit(self._encode_impl,
+                                         in_shardings=(None, fmt))
+                                 if fmt is not None else self._encode)
+        return self._encode_flat
 
     def encode_fn(self):
         """(variables, frames) → features; for embedding in larger jitted graphs

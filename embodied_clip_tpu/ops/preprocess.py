@@ -47,7 +47,18 @@ class Preprocessor:
     use_pallas: bool = False
 
     def __call__(self, frames: jnp.ndarray) -> jnp.ndarray:
-        """uint8/float NHWC (or HWC) frames → normalized NHWC in self.dtype."""
+        """uint8/float NHWC (or HWC) frames → normalized NHWC in self.dtype.
+
+        Also accepts the flat-channels layout (n, h, w*3) — the device layout
+        the fused pallas kernel consumes directly. Shipping frames flat (a free
+        host-side reshape of a contiguous NHWC buffer) removes the on-device
+        uint8 relayout copy XLA otherwise inserts in front of the kernel
+        (~0.15 ms at batch 128; STATUS.md perf log)."""
+        flat = frames.ndim == 3 and frames.shape[-1] != 3
+        if flat:
+            n, h, w3 = frames.shape
+            assert w3 % 3 == 0, f"flat frames last dim must be w*3, got {w3}"
+            frames = frames.reshape(n, h, w3 // 3, 3)
         squeeze = frames.ndim == 3
         if squeeze:
             frames = frames[None]
@@ -61,6 +72,8 @@ class Preprocessor:
                 fused_preprocess_pallas,
             )
 
+            # The kernel consumes (n, h, w*3); reshape(reshape(flat)) cancels,
+            # so flat callers reach it relayout-free.
             out = fused_preprocess_pallas(
                 frames, self.size, self.mean, self.std, self.method, self.dtype
             )

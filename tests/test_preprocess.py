@@ -91,3 +91,14 @@ def test_preprocessor_bf16_output():
     pre = make_preprocessor("clip", dtype=jnp.bfloat16)
     frames = jnp.zeros((1, 300, 300, 3), jnp.uint8)
     assert pre(frames).dtype == jnp.bfloat16
+
+
+def test_preprocessor_flat_channels_input():
+    # (n, h, w*3) flat-channels input (the relayout-free device staging layout)
+    # matches the NHWC path exactly.
+    rng = np.random.RandomState(4)
+    frames = rng.randint(0, 256, size=(2, 300, 300, 3), dtype=np.uint8)
+    pre = make_preprocessor("clip")
+    out_nhwc = np.asarray(pre(jnp.asarray(frames)))
+    out_flat = np.asarray(pre(jnp.asarray(frames.reshape(2, 300, 900))))
+    np.testing.assert_array_equal(out_nhwc, out_flat)

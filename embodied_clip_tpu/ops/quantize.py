@@ -97,6 +97,16 @@ def _requant(x_f32, a_scale):
     return jnp.clip(x_f32 / a_scale + 0.5, 0.0, _QMAX).astype(jnp.int8)
 
 
+def _requant_signed(x_f32, a_scale):
+    """Signed variant for tensors that aren't post-relu (the conv-shortcut
+    outputs): round-half-away-from-zero via a sign-selected ±0.5 then the
+    truncating convert — stays one fused elementwise chain in the producing
+    conv's epilogue."""
+    y = x_f32 / a_scale
+    y = jnp.where(y >= 0, y + 0.5, y - 0.5)
+    return jnp.clip(y, -_QMAX, _QMAX).astype(jnp.int8)
+
+
 def _block_names(stage_sizes: Sequence[int]):
     for stage, n in enumerate(stage_sizes):
         for b in range(n):
@@ -129,8 +139,13 @@ def calibrate_trunk(folded_trunk_params: Dict[str, Any], stage_sizes: Sequence[i
     t = cb("stem1", x, 2)
     t = cb("stem2", t)
     t = cb("stem3", t)
-    t = nn.avg_pool(t, (2, 2), strides=(2, 2))
+    # Recorded PRE-pool: the int8 graph requants in stem3's conv epilogue and
+    # mean-pools on the int8 grid (_avg_pool_int8) — halves the stem-pool HBM
+    # traffic (bf16 write+read → s8) at one 0.5-LSB rounding, the same
+    # quantize-pre-pool trade the stride blocks make. The pre-pool max
+    # upper-bounds the pooled max — safe scale.
     record("stem.out", t)
+    t = nn.avg_pool(t, (2, 2), strides=(2, 2))
     for name, stride in _block_names(stage_sizes):
         o = cb(f"{name}/cb1", t)
         record(f"{name}/cb2.in", o)
@@ -149,6 +164,10 @@ def calibrate_trunk(folded_trunk_params: Dict[str, Any], stage_sizes: Sequence[i
                 identity = nn.avg_pool(identity, (stride, stride),
                                        strides=(stride, stride))
             identity = cb(f"{name}/down", identity, relu=False)
+            # Signed abs-max: the int8 graph writes the shortcut output as s8
+            # (it is not post-relu, so values span both signs).
+            scales[f"{name}/down.out"] = (
+                jnp.max(jnp.abs(identity)).astype(jnp.float32) / _QMAX + 1e-30)
         t = nn.relu(o + identity)
         record(f"{name}.out", t)
     return scales
@@ -306,9 +325,12 @@ def quantized_trunk_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
     t = fp_conv("stem1", x, 2)
     t = fp_conv("stem2", t)
     t = fp_conv("stem3", t)
-    t = nn.avg_pool(t, (2, 2), strides=(2, 2))
+    # Quantize pre-pool (scale calibrated pre-pool) + exact integer mean-pool:
+    # the requant fuses into stem3's conv epilogue and the pool moves bytes on
+    # the int8 grid instead of bf16 (with the s8 shortcut outputs below:
+    # 13.54k → 13.73k frames/s at batch 128).
     s_in = a["stem.out"]
-    t8 = _requant(t, s_in)
+    t8 = _avg_pool_int8(_requant(t, s_in), 2)
 
     blocks = list(_block_names(stage_sizes))
     if pallas_stage1 and stage_sizes[0] == 3:
@@ -363,11 +385,17 @@ def quantized_trunk_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
         o = qconv(q[f"{name}/cb3"], o8, s3)
 
         if f"{name}/down" in q["fp"]:
-            identity = t8.astype(jnp.float32) * s_in
-            if stride > 1:
-                identity = nn.avg_pool(identity, (stride, stride),
-                                       strides=(stride, stride))
-            identity = fp_conv(f"{name}/down", identity, relu=False)
+            # Identity path traffic runs on the int8 grid end-to-end: pool the
+            # s8 input exactly (integer mean), and requantize the bf16 shortcut
+            # conv's output to s8 in its epilogue (signed per-tensor scale from
+            # calibration) so the residual tensor crossing to the cb3 fusion is
+            # s8 instead of bf16 — the conv itself stays bf16 (int8 shortcut
+            # convs regress: STATUS.md round-2 log).
+            id8 = _avg_pool_int8(t8, stride) if stride > 1 else t8
+            identity = fp_conv(f"{name}/down",
+                               id8.astype(jnp.float32) * s_in, relu=False)
+            ds = a[f"{name}/down.out"]
+            identity = _requant_signed(identity, ds).astype(jnp.float32) * ds
         else:
             identity = t8.astype(jnp.float32) * s_in
         out = nn.relu(o + identity)
@@ -426,6 +454,8 @@ def calibrate_resnet_trunk(folded_params, stage_sizes: Sequence[int], block: str
         identity = t
         if stride > 1 or t.shape[-1] != o.shape[-1]:
             identity = cb(f"{name}/down", identity, stride, relu=False)
+            scales[f"{name}/down.out"] = (
+                jnp.max(jnp.abs(identity)).astype(jnp.float32) / _QMAX + 1e-30)
         t = nn.relu(o + identity)
         record(f"{name}.out", t)
     return scales
@@ -487,8 +517,12 @@ def quantized_resnet_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
             o = qconv(q[f"{name}/cb2"], _requant(o, s2), s2)
 
         if f"{name}/down" in q["fp"]:
+            # s8 shortcut output (conv stays bf16): the residual tensor crossing
+            # to the final-add fusion moves as int8 — see the CLIP-trunk note.
             identity = fp_conv(f"{name}/down", t8.astype(jnp.float32) * s_in,
                                stride, relu=False)
+            ds = a[f"{name}/down.out"]
+            identity = _requant_signed(identity, ds).astype(jnp.float32) * ds
         else:
             identity = t8.astype(jnp.float32) * s_in
         out = nn.relu(o + identity)

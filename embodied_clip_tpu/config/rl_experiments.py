@@ -108,33 +108,48 @@ class NavRLExperiment(Experiment):
             from embodied_clip_tpu.zeroshot import seen_unseen_class_ids
 
             class_set = seen_unseen_class_ids()[0]
-        # With a frozen encoder configured, the fake env emits uint8 RGB frames and
-        # the encoder runs INSIDE the rollout — the reference's
+        # The fake env always emits uint8 RGB frames: with a frozen encoder the
+        # encoder runs INSIDE the rollout — the reference's
         # ClipResNetPreprocessor-in-rollout shape (baselines_robothor_objectnav.md:
-        # 48-51), hermetically. Without one, observations are feature maps directly.
-        # rgbd (scratch + depth, baselines_habitat.md:75): uint8 frames + a depth
-        # channel, consumed by the trainable ScratchCNN frontend.
+        # 48-51) — and scratch configs train their ScratchCNN frontend on pixels
+        # (habitat scratch baselines, baselines_habitat.md:75). Either way the
+        # policy architecture matches the real-simulator backends, so hermetic
+        # checkpoints restore into thor/habitat-backend learners and eval.
+        # rgbd adds a depth channel.
         return GridNavEnv(size=8, max_steps=64, class_set=class_set, task=self.task,
-                          frame_obs=self.encoder is not None or self.rgbd,
-                          depth_obs=self.rgbd)
+                          frame_obs=True, depth_obs=self.rgbd)
 
-    def _build_policy(self, env):
+    def _goal_spec(self):
+        if self.zeroshot:
+            return "text_embed", 1024
+        if self.task == "pointnav":
+            return "pointgoal", 2
+        if self.task == "rearrange":
+            return "none", 1  # goal is implicit in the observation
+        return "object_embed", 1024
+
+    def _make_policy(self, num_actions: int, frame_obs: bool,
+                     flat_obs: bool = False, num_goal_classes=None):
+        """The ONE policy factory — fake-backend training, host-backend
+        training, and host eval all construct through here, so checkpoints
+        restore across backends (identical param trees)."""
         from embodied_clip_tpu.models.policy import ActorCritic
 
-        if self.zeroshot:
-            goal_kind, goal_dim = "text_embed", 1024
-        elif self.task == "pointnav":
-            goal_kind, goal_dim = "pointgoal", 2
-        elif self.task == "rearrange":
-            goal_kind, goal_dim = "none", 1  # goal is implicit in the observation
-        else:
-            goal_kind, goal_dim = "object_embed", 1024
+        goal_kind, goal_dim = self._goal_spec()
         return ActorCritic(
-            num_actions=env.num_actions, goal_kind=goal_kind,
-            num_goal_classes=getattr(env, "num_classes", len(ROBOTHOR_OBJECT_TYPES)),
+            num_actions=num_actions, goal_kind=goal_kind,
+            num_goal_classes=(num_goal_classes if num_goal_classes is not None
+                              else len(ROBOTHOR_OBJECT_TYPES)),
             goal_input_dim=goal_dim, hidden=self.hidden,
-            visual_is_map=not getattr(env, "flat_obs", False),
-            scratch_cnn=self.encoder is None and getattr(env, "frame_obs", False),
+            visual_is_map=not flat_obs,
+            scratch_cnn=self.encoder is None and frame_obs,
+        )
+
+    def _build_policy(self, env):
+        return self._make_policy(
+            env.num_actions, getattr(env, "frame_obs", False),
+            getattr(env, "flat_obs", False),
+            getattr(env, "num_classes", None),
         )
 
     def _calibration_frames(self) -> np.ndarray:
@@ -396,22 +411,14 @@ class NavRLExperiment(Experiment):
                      for g in range(groups)]
             venv, venvs = pools[0], pools
         try:
-            from embodied_clip_tpu.models.policy import ActorCritic
-
             encode = self._encode_fn()
             if self.task == "rearrange":
                 from embodied_clip_tpu.envs.thor_rearrange import REARRANGE_ACTIONS
 
-                num_actions, goal_kind = len(REARRANGE_ACTIONS), "none"
+                num_actions = len(REARRANGE_ACTIONS)
             else:
-                num_actions = {"hostgrid": 6, "thor": 6, "habitat": 6}[self.backend]
-                goal_kind = "pointgoal" if self.task == "pointnav" else "object_embed"
-            policy = ActorCritic(
-                num_actions=num_actions, goal_kind=goal_kind,
-                num_goal_classes=12, hidden=self.hidden,
-                visual_is_map=encode is not None,
-                scratch_cnn=encode is None,
-            )
+                num_actions = 6  # the unified THOR ObjectNav/PointNav space
+            policy = self._make_policy(num_actions, frame_obs=True)
             if self.algo == "dagger":
                 from embodied_clip_tpu.training.dagger import (
                     DAggerConfig, HostDAggerLearner,
@@ -561,7 +568,6 @@ class NavRLExperiment(Experiment):
         import jax.numpy as jnp
 
         from embodied_clip_tpu.envs.vector import VectorEnv
-        from embodied_clip_tpu.models.policy import ActorCritic
         from embodied_clip_tpu.training.evaluate import evaluate_policy_host
         from embodied_clip_tpu.utils.checkpoint import restore_params
 
@@ -572,15 +578,10 @@ class NavRLExperiment(Experiment):
             if self.task == "rearrange":
                 from embodied_clip_tpu.envs.thor_rearrange import REARRANGE_ACTIONS
 
-                num_actions, goal_kind = len(REARRANGE_ACTIONS), "none"
+                num_actions = len(REARRANGE_ACTIONS)
             else:
-                num_actions = 6
-                goal_kind = "pointgoal" if self.task == "pointnav" else "object_embed"
-            policy = ActorCritic(
-                num_actions=num_actions, goal_kind=goal_kind,
-                num_goal_classes=12, hidden=self.hidden,
-                visual_is_map=encode is not None, scratch_cnn=encode is None,
-            )
+                num_actions = 6  # the unified THOR ObjectNav/PointNav space
+            policy = self._make_policy(num_actions, frame_obs=True)
             params = getattr(self, "_last_params", None)
             if ckpt:
                 obs0 = venv.reset()
@@ -601,8 +602,7 @@ class NavRLExperiment(Experiment):
                 class_names=list(ROBOTHOR_OBJECT_TYPES),
             )
         finally:
-            for pool in (venvs if isinstance(venvs, list) else [venvs]):
-                pool.close()
+            venv.close()
 
 
 class _GoalMappedEnv:

@@ -38,10 +38,11 @@ def main():
 
         enc = build_encoder("clip_rn50", dtype=jnp.bfloat16).fold_bn()
         if args.int8:
-            import numpy as np
+            # Calibrate on structured representative frames (quantize()'s
+            # no-synthetic-noise contract), as the RL experiments do.
+            from embodied_clip_tpu.parity import golden_frames
 
-            enc = enc.quantize(
-                np.random.RandomState(0).randint(0, 256, (16, 300, 300, 3), np.uint8))
+            enc = enc.quantize(golden_frames(n=16))
         fn, variables = enc.encode_fn(), enc.variables
         encode = lambda f: fn(variables, f)["clip_conv"]
 

@@ -47,12 +47,16 @@ def test_registered_encoder_config_runs_frames_through_encoder(tmp_path):
     assert all(not t.isdigit() for t in scores["per_object_type"])
 
 
-def test_scratch_config_keeps_feature_map_obs():
-    """encoder=None (scratch) stays on direct feature-map observations."""
+def test_scratch_config_trains_cnn_on_frames():
+    """encoder=None (scratch) trains its ScratchCNN on rendered pixels — the
+    habitat scratch-baseline shape (baselines_habitat.md:75) — with no frozen
+    encoder in the loop, so its checkpoints restore into host-backend
+    learners/eval (same param tree as the simulator backends)."""
     exp = get_experiment("ddppo_objectnav_rgb")  # registered scratch config
     env = exp._build_fake_env()
-    assert not env.frame_obs
+    assert env.frame_obs
     assert exp._encode_fn() is None
+    assert exp._build_policy(env).scratch_cnn
 
 
 def test_ddppo_learns_with_frozen_encoder_in_rollout():

@@ -85,3 +85,23 @@ def test_hostgrid_backend_eval_delivers_episodes(tmp_path):
     out = exp2.evaluate(output_dir=str(tmp_path / "eval_hg"), ckpt=ckpts[-1])
     assert out["episodes"] == 6
     assert np.isfinite(out["spl"])
+
+
+def test_scratch_config_ckpt_transfers_to_host_eval(tmp_path):
+    """A fake-trained SCRATCH config (trainable ScratchCNN on pixels, no frozen
+    encoder) restores into the host-backend eval policy: the fake env renders
+    frames for scratch configs and _make_policy is the single construction
+    point, so the param trees match across backends (regression: r3 host-eval
+    once built a different architecture and restore_params raised)."""
+    exp = get_experiment("ddppo_objectnav_rgb")
+    exp = dc.replace(exp, total_env_steps=32, rollout_len=4, env_batch=8,
+                     hidden=32, ckpt_every_steps=32)
+    exp.train(output_dir=str(tmp_path))
+    ckpts = sorted(glob.glob(os.path.join(str(tmp_path), exp.name, "exp_*")))
+    assert ckpts
+
+    exp2 = dc.replace(exp, backend="hostgrid", num_workers=2, eval_episodes=4,
+                      max_episode_steps=20)
+    out = exp2.evaluate(output_dir=str(tmp_path / "eval"), ckpt=ckpts[-1])
+    assert out["episodes"] == 4
+    assert 0.0 <= out["success"] <= 1.0

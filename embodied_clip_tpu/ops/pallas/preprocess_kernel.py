@@ -40,13 +40,44 @@ def _plan(in_hw, size, method):
     return wh, ww3
 
 
-def _kernel(x_ref, wh_ref, ww3t_ref, inv_ref, shift_ref, out_ref, *, out_dtype):
+@functools.lru_cache(maxsize=16)
+def _band_tiles(in_hw, size, method, n_tile=128, k_align=128):
+    """Banded decomposition of the width-pass matmul: bicubic weights are zero
+    outside a ~(4·scale)-pixel support, so for each 128-lane tile of output
+    columns only a short, 128-aligned slice of input columns carries nonzeros.
+    Skipping the all-zero K-tiles is exact and drops ~2/3 of the width-pass
+    FLOPs at 300→224 (the kernel's dominant compute). Returns
+    ((n0, n1, k0, k1), ...) over the (W·3 → OW·3) matrix."""
+    _, ww3 = _plan(in_hw, size, method)
+    wt = ww3.T  # (W*3, OW*3)
+    k_dim, n_dim = wt.shape
+    tiles = []
+    for n0 in range(0, n_dim, n_tile):
+        n1 = min(n0 + n_tile, n_dim)
+        nz = np.nonzero(np.abs(wt[:, n0:n1]).sum(axis=1))[0]
+        k0 = (int(nz[0]) // k_align) * k_align
+        k1 = min(-(-(int(nz[-1]) + 1) // k_align) * k_align, k_dim)
+        tiles.append((n0, n1, k0, k1))
+    return tuple(tiles)
+
+
+def _kernel(x_ref, wh_ref, ww3t_ref, inv_ref, shift_ref, out_ref, *,
+            out_dtype, band_tiles):
     hi = jax.lax.Precision.DEFAULT  # bf16 MACs; the uint8-grid quantize absorbs the error
     # Mosaic has no direct u8→f32 cast; widen via int32 first.
     x = x_ref[0].astype(jnp.int32).astype(jnp.float32)     # (H, W*3), 0..255
-    a = jax.lax.dot(x, ww3t_ref[...], precision=hi,
-                    preferred_element_type=jnp.float32)    # (H, OW*3)
+    # Width pass as banded 128-lane tiles (_band_tiles): exact — the skipped
+    # K-tiles are identically zero in the bicubic weight matrix.
+    parts = [
+        jax.lax.dot(x[:, k0:k1], ww3t_ref[k0:k1, n0:n1], precision=hi,
+                    preferred_element_type=jnp.float32)
+        for (n0, n1, k0, k1) in band_tiles
+    ]
+    a = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)  # (H, OW*3)
     a = jnp.clip(jnp.round(a), 0.0, 255.0)                 # PIL per-pass uint8 grid
+    # Height pass stays one dense dot: banding it (m-tiled Wh row blocks)
+    # wedges the Mosaic compile on this runtime and the dense pass is only
+    # ~90M FLOPs/frame — not worth it.
     b = jax.lax.dot(wh_ref[...], a, precision=hi,
                     preferred_element_type=jnp.float32)    # (OH, OW*3)
     b = jnp.clip(jnp.round(b), 0.0, 255.0)
@@ -76,7 +107,9 @@ def fused_preprocess_pallas(frames: jnp.ndarray, size: int, mean, std,
     shift = np.tile(np.asarray(mean, np.float32) / np.asarray(std, np.float32),
                     size).reshape(1, ow3)
 
-    kernel = functools.partial(_kernel, out_dtype=dtype)
+    kernel = functools.partial(
+        _kernel, out_dtype=dtype,
+        band_tiles=_band_tiles((h, w), size, method))
     out = pl.pallas_call(
         kernel,
         grid=(n,),

@@ -203,8 +203,15 @@ class NavRLExperiment(Experiment):
         variables = enc.variables
         key = "clip_conv" if self.encoder.startswith("clip") else "imagenet_conv"
 
+        # jit here: the host rollout/eval paths call this eagerly per act step
+        # (op-by-op dispatch otherwise); inside the on-device learners' jitted
+        # iterations the inner jit simply inlines.
+        import jax
+
+        jfn = jax.jit(lambda v, f: fn(v, f)[key])
+
         def encode(frames_u8):
-            return fn(variables, frames_u8)[key]
+            return jfn(variables, frames_u8)
 
         return encode
 

@@ -383,8 +383,12 @@ class NavRLExperiment(Experiment):
             from embodied_clip_tpu.envs.habitat import HabitatNavEnv
 
             cfg = os.environ.get("ECT_HABITAT_CONFIG", f"configs/tasks/{self.task}.yaml")
+            # checkpoint eval runs on the yaml's val split (--run-type eval,
+            # baselines_habitat.md:88-97); training uses the configured split.
+            split = "val" if eval_split else None
             return [lambda s=seed: HabitatNavEnv(cfg, task=self.task, seed=s,
-                                                 rgb_only=not self.rgbd, **ms)
+                                                 rgb_only=not self.rgbd,
+                                                 split=split, **ms)
                     for seed in range(self.num_workers)], (480, 640, 3)
         raise ValueError(f"unknown backend {self.backend!r}")
 

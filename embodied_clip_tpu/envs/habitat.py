@@ -13,7 +13,7 @@ instructions; the hermetic stand-in is envs/host_gridworld.py.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
@@ -38,10 +38,13 @@ class HabitatNavEnv(HostEnv):
 
     def __init__(self, config_path: str, task: str = "objectnav",
                  rgb_only: bool = True, max_steps: int = 500, seed: int = 0,
-                 env_factory=None):
+                 env_factory=None, split: Optional[str] = None):
         # env_factory: inject a habitat.Env-compatible object (tests use a scripted
         # fake, tests/fake_habitat.py, to pin obs mapping / reward / metrics without
         # habitat-sim).
+        # split: override the yaml's DATASET.SPLIT — checkpoint eval runs on
+        # 'val' (the reference's --run-type eval contract,
+        # baselines_habitat.md:88-97) while the yaml defaults to train.
         if env_factory is None:
             try:
                 import habitat
@@ -52,8 +55,17 @@ class HabitatNavEnv(HostEnv):
                     "For hermetic runs use envs.host_gridworld.HostGridNav."
                 ) from e
 
-            env_factory = lambda path: habitat.Env(config=habitat.get_config(path))
-        self.env = env_factory(config_path)
+            def env_factory(path, split=None):
+                cfg = habitat.get_config(path)
+                if split:
+                    cfg.defrost()
+                    cfg.DATASET.SPLIT = split
+                    cfg.freeze()
+                return habitat.Env(config=cfg)
+        try:
+            self.env = env_factory(config_path, split=split)
+        except TypeError:  # older factories (tests) take only the path
+            self.env = env_factory(config_path)
         self.env.seed(seed)
         self.task = task
         self.rgb_only = rgb_only

@@ -438,14 +438,16 @@ class NavRLExperiment(Experiment):
                 learner = HostDAggerLearner(venv, policy, DAggerConfig(
                     rollout_len=self.rollout_len, env_batch=venv.n, lr=self.lr,
                     epochs=self.ppo_epochs, aggregate_size=self.dagger_aggregate),
-                    encode_fn=encode, mesh=self._mesh())
+                    encode_fn=encode, goal_map_fn=self._goal_map_fn(venv),
+                    mesh=self._mesh())
             else:
                 learner = HostPPOLearner(venvs, policy, DDPPOConfig(
                     rollout_len=self.rollout_len, env_batch=len(env_fns),
                     num_minibatches=self.num_minibatches,
                     ppo=PPOConfig(lr=self.lr, epochs=self.ppo_epochs,
                                   lr_decay_updates=self._lr_decay_updates())),
-                    encode_fn=encode, mesh=self._mesh())
+                    encode_fn=encode, goal_map_fn=self._goal_map_fn(venv),
+                    mesh=self._mesh())
             params, opt_state = learner.init(key)
             ckpts = StepCheckpointer(os.path.join(output_dir, self.name), prefix="exp")
             env_steps = 0

@@ -105,3 +105,16 @@ def test_scratch_config_ckpt_transfers_to_host_eval(tmp_path):
     out = exp2.evaluate(output_dir=str(tmp_path / "eval"), ckpt=ckpts[-1])
     assert out["episodes"] == 4
     assert 0.0 <= out["success"] <= 1.0
+
+
+def test_zeroshot_host_training_maps_goals(tmp_path):
+    """Zeroshot host-backend training: the collector maps integer goals through
+    the frozen CLIP text-goal table before the text_embed policy consumes them
+    (regression: the host learners were built without goal_map_fn, so zeroshot
+    host training fed raw ints to a Dense goal head)."""
+    exp = get_experiment("zeroshot_objectnav_robothor_rgb_clipresnet50gru_ddppo")
+    exp = dc.replace(exp, backend="hostgrid", total_env_steps=16, rollout_len=4,
+                     num_workers=2, hidden=32, encoder="clip_rn_tiny",
+                     encoder_dtype="float32", ckpt_every_steps=10**9)
+    out = exp.train(output_dir=str(tmp_path))
+    assert np.isfinite(out["loss"])

@@ -375,9 +375,11 @@ def quantized_trunk_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
             i += run
             continue
 
-        o = nn.relu(qconv(q[f"{name}/cb1"], t8, s_in))
+        # cb1/cb2 relus fold into the next _requant's clip-at-0 lower bound
+        # (bit-identical on the int8 grid; one fewer VPU pass per conv epilogue).
+        o = qconv(q[f"{name}/cb1"], t8, s_in)
         s2 = a[f"{name}/cb2.in"]
-        o = nn.relu(qconv(q[f"{name}/cb2"], _requant(o, s2), s2))
+        o = qconv(q[f"{name}/cb2"], _requant(o, s2), s2)
         s3 = a[f"{name}/cb3.in"]
         o8 = _requant(o, s3)  # pre-pool for stride blocks: cb2's epilogue fuses
         if stride > 1:
@@ -398,11 +400,15 @@ def quantized_trunk_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
             identity = _requant_signed(identity, ds).astype(jnp.float32) * ds
         else:
             identity = t8.astype(jnp.float32) * s_in
-        out = nn.relu(o + identity)
         if name == blocks[-1][0]:
-            return out.astype(out_dtype)  # conv map: no final requant round-trip
+            # conv map output: no final requant round-trip
+            return nn.relu(o + identity).astype(out_dtype)
         s_in = a[f"{name}.out"]
-        t8 = _requant(out, s_in)
+        # No explicit relu: _requant's clip-at-0 lower bound IS the relu on the
+        # int8 grid (bit-identical: negative sums land at 0 either way), and one
+        # fewer elementwise pass over the f32 pre-residual tensor matters on an
+        # emitter that serializes VPU phases.
+        t8 = _requant(o + identity, s_in)
         i += 1
 
 
@@ -505,14 +511,15 @@ def quantized_resnet_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
 
     blocks = list(_block_names(stage_sizes))
     for name, stride in blocks:
+        # intermediate relus fold into _requant's clip-at-0 (see CLIP trunk).
         if block == "bottleneck":
-            o = nn.relu(qconv(q[f"{name}/cb1"], t8, s_in))
+            o = qconv(q[f"{name}/cb1"], t8, s_in)
             s2 = a[f"{name}/cb2.in"]
-            o = nn.relu(qconv(q[f"{name}/cb2"], _requant(o, s2), s2, stride))
+            o = qconv(q[f"{name}/cb2"], _requant(o, s2), s2, stride)
             s3 = a[f"{name}/cb3.in"]
             o = qconv(q[f"{name}/cb3"], _requant(o, s3), s3)
         else:
-            o = nn.relu(qconv(q[f"{name}/cb1"], t8, s_in, stride))
+            o = qconv(q[f"{name}/cb1"], t8, s_in, stride)
             s2 = a[f"{name}/cb2.in"]
             o = qconv(q[f"{name}/cb2"], _requant(o, s2), s2)
 
@@ -525,8 +532,8 @@ def quantized_resnet_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
             identity = _requant_signed(identity, ds).astype(jnp.float32) * ds
         else:
             identity = t8.astype(jnp.float32) * s_in
-        out = nn.relu(o + identity)
         if name == blocks[-1][0]:
-            return out.astype(out_dtype)
+            return nn.relu(o + identity).astype(out_dtype)
         s_in = a[f"{name}.out"]
-        t8 = _requant(out, s_in)
+        # relu folded into _requant's clip-at-0 (see the CLIP trunk note).
+        t8 = _requant(o + identity, s_in)

@@ -78,13 +78,17 @@ class NavRLExperiment(Experiment):
     # synchronous expert queries can't pipeline).
     pipeline_groups: int = 1
 
-    def _lr_decay_updates(self) -> int:
+    def _lr_decay_updates(self, envs_per_iter: Optional[int] = None) -> int:
         """Resolve the lr_decay_updates convention: -1 = linear decay to zero
-        over this run's update count (habitat's use_linear_lr_decay semantics,
-        baselines_habitat.md:63-75)."""
+        over this run's OPTIMIZER-step count (habitat's use_linear_lr_decay
+        semantics, baselines_habitat.md:63-75). optax schedules advance once
+        per optimizer update — ppo_epochs x num_minibatches times per train
+        iteration — so the horizon counts those, not iterations; and the host
+        backend's envs-per-iteration is the worker count, not env_batch."""
         if self.lr_decay_updates == -1:
-            return max(1, self.total_env_steps
-                       // (self.rollout_len * self.env_batch))
+            iters = max(1, self.total_env_steps
+                        // (self.rollout_len * (envs_per_iter or self.env_batch)))
+            return iters * max(1, self.ppo_epochs) * max(1, self.num_minibatches)
         return self.lr_decay_updates
 
     def _mesh(self):
@@ -445,7 +449,8 @@ class NavRLExperiment(Experiment):
                     rollout_len=self.rollout_len, env_batch=len(env_fns),
                     num_minibatches=self.num_minibatches,
                     ppo=PPOConfig(lr=self.lr, epochs=self.ppo_epochs,
-                                  lr_decay_updates=self._lr_decay_updates())),
+                                  lr_decay_updates=self._lr_decay_updates(
+                                      envs_per_iter=len(env_fns)))),
                     encode_fn=encode, goal_map_fn=self._goal_map_fn(venv),
                     mesh=self._mesh())
             params, opt_state = learner.init(key)

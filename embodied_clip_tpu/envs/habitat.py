@@ -62,10 +62,29 @@ class HabitatNavEnv(HostEnv):
                     cfg.DATASET.SPLIT = split
                     cfg.freeze()
                 return habitat.Env(config=cfg)
+        # Decide by signature whether the factory takes split= — a blanket
+        # except-TypeError would swallow real TypeErrors raised INSIDE the
+        # factory (running it twice, leaking a half-built simulator) and,
+        # worse, silently drop a requested val split so "eval" would score
+        # the yaml's train scenes.
+        import inspect
+
         try:
+            sig = inspect.signature(env_factory)
+            takes_split = "split" in sig.parameters or any(
+                p.kind is inspect.Parameter.VAR_KEYWORD
+                for p in sig.parameters.values())
+        except (TypeError, ValueError):
+            takes_split = True  # uninspectable: assume the documented 2-arg shape
+        if takes_split:
             self.env = env_factory(config_path, split=split)
-        except TypeError:  # older factories (tests) take only the path
+        elif split is None:
             self.env = env_factory(config_path)
+        else:
+            raise TypeError(
+                f"env_factory {env_factory!r} takes no split= argument but "
+                f"split={split!r} was requested; a path-only factory cannot "
+                "honor the eval-split contract (baselines_habitat.md:88-97)")
         self.env.seed(seed)
         self.task = task
         self.rgb_only = rgb_only

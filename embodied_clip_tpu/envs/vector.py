@@ -85,6 +85,12 @@ class VectorEnv:
         self.num_actions = None
         self._last_obs: List[Optional[Dict]] = [None] * self.n
         self._straggler_pending: List[int] = []
+        # Workers respawned since their last recorded transition: their NEXT
+        # reply answers an action computed from a stale (pre-respawn) obs and
+        # executed in a fresh episode, so step_wait records it invalid and
+        # done=True (episode boundary → the collector resets the GRU carry and
+        # prev_action instead of bleeding state across the respawn).
+        self._respawned_pending: set = set()
         self.respawn_count = 0
 
     def _spawn(self, i: int) -> None:
@@ -112,6 +118,7 @@ class VectorEnv:
             pass
         self._spawn(i)
         self.respawn_count += 1
+        self._respawned_pending.add(i)
         self.remotes[i].send(("reset", None))
         self._last_obs[i] = self._recv_obs(i, "obs")
 
@@ -124,10 +131,13 @@ class VectorEnv:
         of hanging the pool (VERDICT r2 weak #6)."""
         pending = list(self._straggler_pending)
         self._straggler_pending = []
-        deadline = time.monotonic() + self.respawn_timeout_s
         for i in pending:
+            # Per-straggler deadline with a guaranteed first poll: one hung
+            # worker must not consume the budget of healthy workers whose
+            # replies are already sitting in the pipe.
+            deadline = time.monotonic() + self.respawn_timeout_s
             got = False
-            while time.monotonic() < deadline:
+            while True:
                 if self.remotes[i].poll(0.005):
                     try:
                         _tag, payload = self.remotes[i].recv()
@@ -140,7 +150,7 @@ class VectorEnv:
                     self._last_obs[i] = obs
                     got = True
                     break
-                if self._worker_dead(i):
+                if self._worker_dead(i) or time.monotonic() >= deadline:
                     break
             if not got:
                 self._respawn(i)
@@ -151,11 +161,21 @@ class VectorEnv:
         # Drain replies still owed from a previous cutoff first — otherwise a
         # stale step reply would be misread as the reset observation.
         self._drain_stragglers()
-        for r in self.remotes:
-            r.send(("reset", None))
-        obs = [self._recv_obs(i, "obs") for i in range(self.n)]
-        self._last_obs = obs
-        return self._stack(obs)
+        sent = []
+        for i, r in enumerate(self.remotes):
+            try:
+                r.send(("reset", None))
+                sent.append(i)
+            except (BrokenPipeError, OSError):
+                # Died idle (after its last successful reply): respawn — the
+                # fresh worker resets itself and its obs lands in _last_obs.
+                self._respawn(i)
+        for i in sent:
+            self._last_obs[i] = self._recv_obs(i, "obs")
+        # A reset realigns every column to an episode start; no transition
+        # straddles a respawn boundary anymore.
+        self._respawned_pending.clear()
+        return self._stack(self._last_obs)
 
     def _recv_obs(self, i, kind):
         tag, payload = self.remotes[i].recv()
@@ -217,7 +237,16 @@ class VectorEnv:
 
         obs_list, rewards, dones, infos, valid = [], [], [], [], []
         for i in range(self.n):
-            if i in results:
+            if i in results and i in self._respawned_pending:
+                # First reply after a respawn: the action was computed from a
+                # stale pre-respawn obs and executed in a fresh episode —
+                # incoherent as training data. Mask it invalid and mark the
+                # episode boundary so the caller resets recurrent state.
+                self._respawned_pending.discard(i)
+                obs_list.append(results[i][0])
+                rewards.append(0.0); dones.append(True); infos.append({})
+                valid.append(False)
+            elif i in results:
                 o, r, d, inf = results[i]
                 obs_list.append(o); rewards.append(r); dones.append(d)
                 infos.append(inf); valid.append(True)

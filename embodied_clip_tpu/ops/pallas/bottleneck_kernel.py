@@ -208,9 +208,13 @@ def fused_stage1(x: jnp.ndarray, blocks, shortcut, batch_tile: int = 1,
 # "read x8 (int8), write out8 (int8)".
 #
 # Numerics mirror ops/quantize.quantized_trunk_apply op-for-op (same f32
-# products, same divide-by-scale, same +0.5/truncating-convert requant), so the
-# kernel differs from the XLA int8 graph only where f32 summation order differs
-# (the bf16 shortcut conv's accumulation) — LSB-level on rare near-ties.
+# products, same divide-by-scale, same +0.5/truncating-convert requant,
+# including the conv shortcut's signed s8 round-trip). Every integer path is
+# bit-exact; the one non-integer reduction (the bf16 shortcut's f32
+# accumulation) is compiler-ordered, so across separately compiled programs it
+# can flip the signed requant on tie elements (±1 s8 step on ~0.1% of
+# elements on CPU; exact on TPU's fixed MXU accumulation order) — see
+# tests/test_bottleneck_kernel.py.
 
 
 def _qdot(x, k):
@@ -247,18 +251,29 @@ def _stage1_int8_kernel(x_ref, scl_ref,
                         k1b, s1b, b1b, k2b, s2b, b2b, k3b, s3b, b3b,
                         k1c, s1c, b1c, k2c, s2c, b2c, k3c, s3c, b3c,
                         out_ref, pad_ref, *, h, w, cin, cm, cout, bt):
-    # scl layout: [sin, r2a, r3a, routa, r2b, r3b, routb, r2c, r3c, routc]
+    # scl layout: [sin, r2a, r3a, routa, r2b, r3b, routb, r2c, r3c, routc, dsc]
     f32 = jnp.float32
     scl = scl_ref[...]
     xb = x_ref[...].reshape(bt * h * w, cin).astype(jnp.bfloat16)  # int8→bf16 exact
 
-    # block 0: conv shortcut in bf16 (same precision as the XLA fp path)
+    # block 0: conv shortcut in bf16 (same precision as the XLA fp path),
+    # output requantized through the signed s8 grid — the same
+    # _requant_signed round-trip quantized_trunk_apply applies, so the kernel
+    # stays bit-exact vs the XLA int8 graph.
     q2 = _qblock_cb12(xb, pad_ref, k1a[...], s1a[...], b1a[...],
                       k2a[...], s2a[...], b2a[...], scl[0, 1], scl[0, 2],
                       h, w, cm, bt)
     y = _qdot(q2, k3a[...]) * s3a[...] + b3a[...]
     x0f = (xb.astype(f32) * scl[0, 0]).astype(jnp.bfloat16)
+    # Same op as the XLA graph's fp_conv 1×1 path: bf16 operands, explicit
+    # f32-accumulating dot, f32 bias add — well-defined on both sides, so the
+    # requant below sees identical values.
     sc = jnp.dot(x0f, wsc[...], preferred_element_type=f32) + bsc[...]
+    dsc = scl[0, 10]
+    scq = sc / dsc
+    scq = jnp.where(scq >= 0, scq + 0.5, scq - 0.5)
+    # truncating convert toward zero, like the XLA graph's .astype(int8)
+    sc = jnp.clip(scq, -127.0, 127.0).astype(jnp.int32).astype(f32) * dsc
     out = jnp.maximum(y + sc, 0.0)
     x1 = jnp.clip(out / scl[0, 3] + 0.5, 0.0, 127.0) \
         .astype(jnp.int32).astype(jnp.bfloat16)

@@ -236,6 +236,9 @@ def stage1_int8_operands(q: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
             ops["wsc"] = jnp.asarray(down["kernel"], jnp.bfloat16)[0, 0]
             ops["bsc"] = jnp.asarray(down["bias"], f32).reshape(1, -1)
         s_prev = s_out
+    # scl[10]: the shortcut output's signed requant scale — the kernel mirrors
+    # quantized_trunk_apply's s8 shortcut round-trip (_requant_signed) exactly.
+    scl.append(jnp.asarray(a["layer1_0/down.out"], f32))
     ops["scl"] = jnp.stack(scl).astype(f32).reshape(1, -1)
     return ops
 
@@ -305,9 +308,20 @@ def quantized_trunk_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
 
     def fp_conv(name, t, stride=1, relu=True):
         sub = q["fp"][name]["conv"]
-        out = _conv(t.astype(jnp.bfloat16),
-                    jnp.asarray(sub["kernel"], jnp.bfloat16), stride)
-        out = out.astype(jnp.float32) + jnp.asarray(sub["bias"], jnp.float32)
+        k = jnp.asarray(sub["kernel"], jnp.bfloat16)
+        if k.shape[0] == 1 and k.shape[1] == 1 and stride == 1:
+            # 1×1 shortcut as an explicit f32-accumulating einsum: the conv
+            # emitter's bf16 output rounding is elided or kept at XLA's
+            # discretion (allow-excess-precision), which makes the graph's
+            # numerics build-dependent — and impossible for the fused Pallas
+            # stage-1 kernel to be bit-exact against. dot_general with
+            # preferred_element_type pins the semantics (and einsum is the
+            # faster form for this net's 1×1s — see qconv).
+            out = jnp.einsum("nhwc,cd->nhwd", t.astype(jnp.bfloat16), k[0, 0],
+                             preferred_element_type=jnp.float32)
+        else:
+            out = _conv(t.astype(jnp.bfloat16), k, stride).astype(jnp.float32)
+        out = out + jnp.asarray(sub["bias"], jnp.float32)
         return nn.relu(out) if relu else out
 
     def qconv(sub, t8, in_scale):

@@ -249,6 +249,9 @@ class HostDAggerLearner:
                 shard_time_major(expert_seq, self.mesh, batch=n))
 
     def train_iteration(self, params, opt_state, iteration: int):
+        import time
+
+        t_start = time.perf_counter()
         beta = float(np.clip(1.0 - iteration / self.cfg.beta_decay_iters, 0.0, 1.0))
         obs_seq, h0, starts, expert_seq, env_metrics = self.collector.collect_dagger(
             params, self.cfg.rollout_len, beta, self._rng
@@ -272,9 +275,10 @@ class HostDAggerLearner:
         metrics.update(loss=loss, expert_match=acc, beta=beta)
         steps = float(self.cfg.rollout_len * self.venv.n)
         metrics["env_steps"] = steps
-        summ = self.collector.timer.summary()
-        wall = sum(summ[k] for k in summ if k.endswith("_s"))
-        metrics.update(summ)
+        # True elapsed wall time (not the stage-sum): collection, expert
+        # queries, and the update all count toward env-steps/s.
+        metrics.update(self.collector.timer.summary())
+        wall = time.perf_counter() - t_start
         metrics["env_steps_per_s"] = steps / max(wall, 1e-9)
         self.collector.timer.reset()
         return params, opt_state, metrics

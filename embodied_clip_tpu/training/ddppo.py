@@ -38,14 +38,24 @@ class DDPPOConfig:
 
 def iter_minibatches(m: int, rollout: Rollout, advantages, returns):
     """Split a (T, B) rollout into m contiguous env-slice minibatches (habitat
-    DD-PPO's recurrent generator shape: whole sequences, sliced over envs)."""
+    DD-PPO's recurrent generator shape: whole sequences, sliced over envs).
+
+    When B % m != 0 the remainder spreads over the first minibatches (sizes
+    differ by at most 1) so every env contributes a gradient — silently
+    dropping the tail would starve arbitrary worker counts on the host path.
+    At most 2 distinct minibatch shapes reach the jitted loss."""
     if m <= 1:
         yield rollout, advantages, returns
         return
     b = rollout.actions.shape[1]
-    size = b // m
+    size, rem = divmod(b, m)
+    start = 0
     for i in range(m):
-        sl = slice(i * size, (i + 1) * size)
+        s = size + (1 if i < rem else 0)
+        if s == 0:
+            continue
+        sl = slice(start, start + s)
+        start += s
         mb = Rollout(
             obs=jax.tree.map(lambda x: x[:, sl], rollout.obs),
             is_start=rollout.is_start[:, sl],

@@ -240,18 +240,26 @@ class HostRolloutCollector:
         ep_metrics = {"success": [], "spl": [], "episode_len": []}
         h0 = st["h"]
         for _ in range(num_steps):
-            expert = self.venv.expert_actions()
-            obs_dev = self._policy_obs(st["obs"], st["prev_action"])
-            action, _, _, st["h"], self._key = self._act_step(
-                params, obs_dev, st["h"], st["is_start"], self._key
-            )
+            # Stage accounting mirrors collect(): "act" = device act step
+            # (incl. the frozen encode), "env_step" = simulator-side work (the
+            # synchronous expert query + the env step) — so the learner's
+            # env_steps_per_s and stage fractions cover the whole iteration.
+            with self.timer.stage("env_step"):
+                expert = self.venv.expert_actions()
+            with self.timer.stage("act"):
+                obs_dev = self._policy_obs(st["obs"], st["prev_action"])
+                action, _, _, st["h"], self._key = self._act_step(
+                    params, obs_dev, st["h"], st["is_start"], self._key
+                )
+                action_host = np.asarray(action)  # blocks on the act step
             take_expert = rng.rand(self.venv.n) < beta
-            action_np = np.where(take_expert, expert, np.asarray(action)).astype(np.int32)
+            action_np = np.where(take_expert, expert, action_host).astype(np.int32)
             self.venv.step_async(action_np)
             obs_seq.append(obs_dev)
             starts.append(st["is_start"])
             experts.append(jnp.asarray(expert))
-            next_obs, _reward, done, infos, _valid = self.venv.step_wait()
+            with self.timer.stage("env_step"):
+                next_obs, _reward, done, infos, _valid = self.venv.step_wait()
             for inf in infos:
                 if "success" in inf:
                     for k in ep_metrics:

@@ -79,3 +79,24 @@ def test_stop_away_from_goal_fails():
     env.reset()
     _, _, done, info = env.step(STOP)
     assert done and info["success"] == 0.0 and info["spl"] == 0.0
+
+
+def test_split_contract_with_factories():
+    """A factory that accepts split= receives it; a path-only factory is fine
+    when no split is requested but must FAIL LOUDLY when one is — silently
+    dropping split='val' would score train scenes and report them as eval
+    (baselines_habitat.md:88-97)."""
+    seen = {}
+
+    def factory_with_split(path, split=None):
+        seen["split"] = split
+        return FakeHabitatEnv(path)
+
+    HabitatNavEnv("cfg.yaml", env_factory=factory_with_split, split="val")
+    assert seen["split"] == "val"
+
+    # path-only factory (FakeHabitatEnv itself), no split requested: ok
+    HabitatNavEnv("cfg.yaml", env_factory=FakeHabitatEnv)
+
+    with pytest.raises(TypeError, match="split"):
+        HabitatNavEnv("cfg.yaml", env_factory=FakeHabitatEnv, split="val")

@@ -54,5 +54,13 @@ def test_host_dagger_trains_on_rearrange_pool():
             assert np.isfinite(m["loss"])
         assert m["beta"] == pytest.approx(1.0 - 2 / 4)
         assert len(learner._buffer) == 3
+        # Stage timing covers the whole iteration (SURVEY.md §5 tracing row):
+        # expert queries + env steps and the device act step are both recorded,
+        # so env_steps_per_s reflects true wall time, not just the update.
+        for k in ("act_s", "env_step_s", "update_s", "env_steps_per_s"):
+            assert k in m, sorted(m)
+        assert m["act_s"] > 0 and m["env_step_s"] > 0
+        assert m["env_steps_per_s"] <= (8 * 4) / max(
+            m["act_s"] + m["env_step_s"] + m["update_s"], 1e-9) * 1.01
     finally:
         venv.close()

@@ -70,10 +70,37 @@ def test_vector_env_worker_death_recovery():
         assert valid[0] and valid[2]
         assert not valid[1]
         assert obs["visual"].shape == (3, 56, 56, 3)  # stale obs repeated
-        # next step drains + respawns; pool is whole again
-        obs, _, _, _, valid = venv.step(np.array([2, 2, 2]))
+        # next step drains + respawns; the respawned worker's first transition
+        # answers a stale-obs action executed in a fresh episode, so it is
+        # masked invalid AND flagged done (episode boundary: the collector
+        # must reset the GRU carry instead of bleeding state across respawn)
+        obs, _, dones, _, valid = venv.step(np.array([2, 2, 2]))
         assert venv.respawn_count == 1
         assert venv.procs[1].is_alive()
+        assert valid[0] and valid[2]
+        assert not valid[1] and dones[1]
+        # from the step after that, the pool is whole again
+        _, _, _, _, valid = venv.step(np.array([0, 0, 0]))
+        assert valid.all()
+    finally:
+        venv.close()
+
+
+def test_vector_env_reset_respawns_idle_dead_worker():
+    """A worker that dies AFTER its last successful reply (idle, not a
+    straggler) must not crash reset() with BrokenPipeError — reset respawns it
+    and returns a full observation batch."""
+    venv = _make_venv(3, cutoff_timeout_s=3.0)
+    try:
+        venv.reset()
+        venv.step(np.zeros(3, np.int64))  # all replies consumed; nobody pending
+        venv.procs[2].kill()
+        venv.procs[2].join(timeout=5)
+        obs = venv.reset()  # must not raise
+        assert obs["visual"].shape == (3, 56, 56, 3)
+        assert venv.respawn_count == 1 and venv.procs[2].is_alive()
+        # post-reset transitions are coherent: no respawn-boundary masking
+        _, _, _, _, valid = venv.step(np.zeros(3, np.int64))
         assert valid.all()
     finally:
         venv.close()

@@ -301,8 +301,14 @@ def test_habitat_configs_carry_reference_knobs_and_minibatch_path_runs(tmp_path)
         exp = get_experiment(name)
         assert exp.ppo_epochs == 2 and exp.num_minibatches == 2, name
         assert exp.lr_decay_updates == -1, name
-        assert exp._lr_decay_updates() == exp.total_env_steps // (
-            exp.rollout_len * exp.env_batch)
+        # the horizon counts OPTIMIZER steps: optax schedules advance once per
+        # minibatch update, ppo_epochs x num_minibatches times per iteration
+        iters = exp.total_env_steps // (exp.rollout_len * exp.env_batch)
+        assert exp._lr_decay_updates() == (
+            iters * exp.ppo_epochs * exp.num_minibatches)
+        # the host backend's envs-per-iteration is its worker count
+        assert exp._lr_decay_updates(envs_per_iter=exp.env_batch // 2) == (
+            2 * iters * exp.ppo_epochs * exp.num_minibatches)
 
     exp = get_experiment("ddppo_objectnav_rgb")
     exp = _dc.replace(exp, total_env_steps=64, rollout_len=4, env_batch=8,
@@ -332,6 +338,29 @@ def test_minibatched_update_matches_manual_slices():
         assert mb.h0.shape == (B // 4,)
         assert mb.valid.shape == (T, B // 4)
         np.testing.assert_array_equal(a, mb.values + 1)
+
+
+def test_minibatches_cover_every_env_with_indivisible_batch():
+    """B % m != 0 (arbitrary host worker counts) must not silently drop the
+    tail envs — the remainder spreads over the first minibatches."""
+    from embodied_clip_tpu.training.ddppo import iter_minibatches
+    from embodied_clip_tpu.training.ppo import Rollout
+
+    T, B, m = 2, 5, 2
+    r = np.arange(T * B, dtype=np.float32).reshape(T, B)
+    roll = Rollout(obs={"x": r}, is_start=r > 0, actions=r.astype(np.int32),
+                   log_probs=r, values=r, rewards=r, dones=r > 1e9,
+                   h0=np.arange(B, dtype=np.float32), valid=r < 1e9)
+    mbs = list(iter_minibatches(m, roll, r + 1, r + 2))
+    sizes = [mb.actions.shape[1] for mb, _, _ in mbs]
+    assert sizes == [3, 2]
+    cols = np.concatenate([mb.actions for mb, _, _ in mbs], axis=1)
+    np.testing.assert_array_equal(cols, roll.actions)  # every env, in order
+    # degenerate m > B: no empty minibatches, still full coverage
+    mbs = list(iter_minibatches(7, roll, r + 1, r + 2))
+    assert all(mb.actions.shape[1] > 0 for mb, _, _ in mbs)
+    cols = np.concatenate([mb.actions for mb, _, _ in mbs], axis=1)
+    np.testing.assert_array_equal(cols, roll.actions)
 
 
 def test_fake_trained_checkpoint_transfers_to_thor_backend_policy(tmp_path):

@@ -86,9 +86,13 @@ class NavRLExperiment(Experiment):
         iteration — so the horizon counts those, not iterations; and the host
         backend's envs-per-iteration is the worker count, not env_batch."""
         if self.lr_decay_updates == -1:
-            iters = max(1, self.total_env_steps
-                        // (self.rollout_len * (envs_per_iter or self.env_batch)))
-            return iters * max(1, self.ppo_epochs) * max(1, self.num_minibatches)
+            envs = envs_per_iter or self.env_batch
+            iters = max(1, self.total_env_steps // (self.rollout_len * envs))
+            # iter_minibatches emits min(m, B) non-empty minibatches — with
+            # fewer envs than minibatches the horizon must match the actual
+            # optimizer-step count or the LR never reaches zero.
+            mb = max(1, min(self.num_minibatches, envs))
+            return iters * max(1, self.ppo_epochs) * mb
         return self.lr_decay_updates
 
     def _mesh(self):

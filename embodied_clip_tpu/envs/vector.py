@@ -28,7 +28,14 @@ __all__ = ["VectorEnv"]
 
 
 def _worker(remote, env_fn, ring_info, slot):
-    env = env_fn()
+    try:
+        env = env_fn()
+    except Exception as e:  # report WHY (e.g. simulator not installed) —
+        # otherwise the parent only sees a dead pipe (ConnectionResetError)
+        try:
+            remote.send(("error", f"{type(e).__name__}: {e}"))
+        finally:
+            return
     ring = None
     if ring_info is not None:
         ring = FrameRing.attach(*ring_info)
@@ -131,11 +138,13 @@ class VectorEnv:
         of hanging the pool (VERDICT r2 weak #6)."""
         pending = list(self._straggler_pending)
         self._straggler_pending = []
+        # One SHARED deadline bounds the whole drain (k simultaneously hung
+        # workers stall the pool once, not k times), but every worker is
+        # guaranteed at least one poll even after the deadline passes — a
+        # healthy worker whose reply is already sitting in the pipe must never
+        # be respawned just because an earlier straggler ate the budget.
+        deadline = time.monotonic() + self.respawn_timeout_s
         for i in pending:
-            # Per-straggler deadline with a guaranteed first poll: one hung
-            # worker must not consume the budget of healthy workers whose
-            # replies are already sitting in the pipe.
-            deadline = time.monotonic() + self.respawn_timeout_s
             got = False
             while True:
                 if self.remotes[i].poll(0.005):
@@ -170,8 +179,24 @@ class VectorEnv:
                 # Died idle (after its last successful reply): respawn — the
                 # fresh worker resets itself and its obs lands in _last_obs.
                 self._respawn(i)
+        # Workers reset concurrently, so one shared deadline bounds the wait;
+        # a worker that dies INSIDE env.reset (after accepting the command) or
+        # hangs past the deadline is respawned instead of crashing the pool.
+        deadline = time.monotonic() + self.respawn_timeout_s
         for i in sent:
-            self._last_obs[i] = self._recv_obs(i, "obs")
+            ok = False
+            while True:
+                if self.remotes[i].poll(0.01):
+                    try:
+                        self._last_obs[i] = self._recv_obs(i, "obs")
+                        ok = True
+                    except (EOFError, OSError):
+                        pass
+                    break
+                if self._worker_dead(i) or time.monotonic() >= deadline:
+                    break
+            if not ok:
+                self._respawn(i)
         # A reset realigns every column to an episode start; no transition
         # straddles a respawn boundary anymore.
         self._respawned_pending.clear()
@@ -179,6 +204,12 @@ class VectorEnv:
 
     def _recv_obs(self, i, kind):
         tag, payload = self.remotes[i].recv()
+        if tag == "error":
+            # Deterministic construction failure (e.g. simulator not
+            # installed): fail loudly with the worker's own message instead of
+            # respawn-looping into a bare ConnectionResetError.
+            raise RuntimeError(f"env worker {i} failed to construct its "
+                               f"environment: {payload}")
         if kind == "obs":
             obs = payload
         else:
@@ -265,10 +296,54 @@ class VectorEnv:
         return self.step_wait()
 
     def expert_actions(self) -> np.ndarray:
-        """Query every worker's expert action for its CURRENT state (DAgger)."""
-        for r in self.remotes:
-            r.send(("expert", None))
-        return np.asarray([r.recv()[1] for r in self.remotes], np.int32)
+        """Query every worker's expert action for its CURRENT state (DAgger).
+
+        Routed through the same straggler/respawn machinery as stepping: owed
+        step replies are drained FIRST so they cannot be misread as expert
+        replies (pipe-protocol desync), dead workers are respawned (the fresh
+        episode's expert is returned — one noisy label rather than a crash),
+        and any stale non-expert reply that still slips through is consumed
+        and the pipe re-queried."""
+        self._drain_stragglers()
+        out = np.zeros(self.n, np.int32)
+        deadline = time.monotonic() + self.respawn_timeout_s
+
+        def respawn_and_ask(i):
+            self._respawn(i)
+            self.remotes[i].send(("expert", None))
+            # fresh worker, empty pipe: a blocking recv is safe here (the same
+            # trust _respawn itself places in its post-reset recv)
+            return self.remotes[i].recv()[1]
+
+        for i, r in enumerate(self.remotes):
+            try:
+                r.send(("expert", None))
+            except (BrokenPipeError, OSError):
+                out[i] = respawn_and_ask(i)
+                continue
+            got = False
+            while not got:
+                if self.remotes[i].poll(0.01):
+                    try:
+                        tag, payload = self.remotes[i].recv()
+                    except (EOFError, OSError):
+                        out[i] = respawn_and_ask(i)
+                        break
+                    if tag == "expert":
+                        out[i] = payload
+                        got = True
+                    else:
+                        # stale step/reset reply that slipped past the drain:
+                        # record its obs and keep waiting for the expert reply
+                        obs = payload[0] if tag == "trans" else payload
+                        if self.ring is not None:
+                            obs = dict(obs)
+                            obs["visual"] = self.ring.read(i)
+                        self._last_obs[i] = obs
+                elif self._worker_dead(i) or time.monotonic() >= deadline:
+                    out[i] = respawn_and_ask(i)
+                    break
+        return out
 
     @staticmethod
     def _stack(obs_list: List[Dict]) -> Dict[str, np.ndarray]:

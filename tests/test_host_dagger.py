@@ -37,6 +37,29 @@ def test_vector_env_expert_actions():
         venv.close()
 
 
+def test_expert_actions_survive_worker_death():
+    """expert_actions() rides the same respawn machinery as stepping: a dead
+    worker must not crash the DAgger loop with BrokenPipeError or desync the
+    pipe protocol — it is respawned and the fresh episode's expert returned."""
+    venv = VectorEnv([_env_fn(20 + i) for i in range(3)],
+                     frame_shape=(64, 64, 3))
+    try:
+        venv.reset()
+        venv.step(venv.expert_actions())
+        venv.procs[1].kill()
+        venv.procs[1].join(timeout=5)
+        experts = venv.expert_actions()  # must not raise
+        assert venv.respawn_count == 1 and venv.procs[1].is_alive()
+        assert all(0 <= a < len(REARRANGE_ACTIONS) for a in experts)
+        # protocol still aligned: a full step round-trip works afterwards
+        obs, _, _, _, _ = venv.step(experts)
+        assert obs["visual"].shape == (3, 64, 64, 3)
+        experts2 = venv.expert_actions()
+        assert experts2.shape == (3,)
+    finally:
+        venv.close()
+
+
 def test_host_dagger_trains_on_rearrange_pool():
     venv = VectorEnv([_env_fn(10 + i) for i in range(4)], frame_shape=(64, 64, 3))
     try:

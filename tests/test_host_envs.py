@@ -86,6 +86,52 @@ def test_vector_env_worker_death_recovery():
         venv.close()
 
 
+def test_vector_env_reports_env_construction_failure():
+    """A worker whose env constructor raises (e.g. simulator not installed)
+    must surface THAT message, not respawn-loop into ConnectionResetError."""
+    import pytest
+
+    def bad_env():
+        raise ImportError("ai2thor is required for THORRearrangeEnv")
+
+    venv = VectorEnv([bad_env, lambda: HostGridNav(size=5, seed=0)],
+                     frame_shape=(56, 56, 3))
+    try:
+        with pytest.raises(RuntimeError, match="ai2thor is required"):
+            venv.reset()
+    finally:
+        venv.close()
+
+
+def test_vector_env_reset_survives_death_inside_reset(tmp_path):
+    """A worker that accepts the reset command but dies while executing
+    env.reset() (simulator crash — the common real death mode) must be
+    respawned instead of crashing the pool with EOFError."""
+    import os
+
+    flag = tmp_path / "die_once"
+    flag.write_text("1")
+
+    class DiesOnFirstReset(HostGridNav):
+        def reset(self):
+            if flag.exists():
+                flag.unlink()
+                os._exit(1)  # simulate a segfault mid-reset
+            return super().reset()
+
+    fns = [lambda i=i: (DiesOnFirstReset if i == 1 else HostGridNav)(size=5, seed=i)
+           for i in range(3)]
+    venv = VectorEnv(fns, frame_shape=(56, 56, 3))
+    try:
+        obs = venv.reset()  # must not raise; worker 1 dies, respawns, resets
+        assert obs["visual"].shape == (3, 56, 56, 3)
+        assert venv.respawn_count == 1 and venv.procs[1].is_alive()
+        _, _, _, _, valid = venv.step(np.zeros(3, np.int64))
+        assert valid.all()
+    finally:
+        venv.close()
+
+
 def test_vector_env_reset_respawns_idle_dead_worker():
     """A worker that dies AFTER its last successful reply (idle, not a
     straggler) must not crash reset() with BrokenPipeError — reset respawns it

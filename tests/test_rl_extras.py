@@ -309,6 +309,11 @@ def test_habitat_configs_carry_reference_knobs_and_minibatch_path_runs(tmp_path)
         # the host backend's envs-per-iteration is its worker count
         assert exp._lr_decay_updates(envs_per_iter=exp.env_batch // 2) == (
             2 * iters * exp.ppo_epochs * exp.num_minibatches)
+        # fewer envs than minibatches: iter_minibatches emits min(m, B)
+        # non-empty minibatches, and the horizon must match that count
+        one_env_iters = exp.total_env_steps // exp.rollout_len
+        assert exp._lr_decay_updates(envs_per_iter=1) == (
+            one_env_iters * exp.ppo_epochs * 1)
 
     exp = get_experiment("ddppo_objectnav_rgb")
     exp = _dc.replace(exp, total_env_steps=64, rollout_len=4, env_batch=8,

@@ -57,6 +57,11 @@ def _cmd_probe_train(argv):
     if args.ckpt:
         x0, _ = next(dm.batches("train", shuffle=False))
         trainer.load(args.ckpt, x0)
+    elif args.eval:
+        # Without a checkpoint there is nothing to evaluate — scoring
+        # randomly-initialized params would print meaningless metrics as if
+        # they were a real result.
+        p.error("--eval requires --ckpt (no trained parameters to test)")
     result = {}
     if not args.eval:
         result["val"] = trainer.fit(dm)

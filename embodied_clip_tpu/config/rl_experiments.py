@@ -605,18 +605,24 @@ class NavRLExperiment(Experiment):
                 num_actions = 6  # the unified THOR ObjectNav/PointNav space
             policy = self._make_policy(num_actions, frame_obs=True)
             params = getattr(self, "_last_params", None)
+            goal_map = self._goal_map_fn(venv) if self.zeroshot else None
             if ckpt:
                 obs0 = venv.reset()
                 o = {k: jnp.asarray(v) for k, v in obs0.items()}
                 if encode is not None:
                     o["visual"] = encode(o["visual"])
+                if goal_map is not None:
+                    # zeroshot: the policy's goal input is the CLIP text
+                    # embedding, not the raw class id — the template must be
+                    # built exactly like the act-step obs or the restored
+                    # param tree has a wrong-shape goal_fc kernel.
+                    o["goal"] = goal_map(o["goal"])
                 o["prev_action"] = jnp.zeros((venv.n,), jnp.int32)
                 template = policy.init(
                     jax.random.PRNGKey(0), o, policy.initial_state(venv.n),
                     jnp.zeros((venv.n,), bool))["params"]
                 params = restore_params(ckpt, template)
             assert params is not None, "evaluate needs --ckpt or a preceding train()"
-            goal_map = self._goal_map_fn(venv) if self.zeroshot else None
             return evaluate_policy_host(
                 venv, policy.apply, params, jax.random.PRNGKey(self.seed),
                 num_episodes=self.eval_episodes, hidden=self.hidden,

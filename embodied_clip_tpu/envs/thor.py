@@ -74,7 +74,10 @@ class THORObjectNavEnv(HostEnv):
 
     def _geodesic_to_target(self) -> float:
         """Shortest-path length to the nearest target instance (for SPL); falls back
-        to euclidean when the path query fails."""
+        to euclidean when the path query fails, and to 0.0 when the scene holds
+        no instance of the target type at all — inf here would turn SPL into
+        0*inf/inf = NaN and each shaping reward into (inf - inf) = NaN, which
+        propagates through GAE into the whole param tree."""
         meta = self.controller.last_event.metadata
         pos = meta["agent"]["position"]
         best = np.inf
@@ -96,7 +99,7 @@ class THORObjectNavEnv(HostEnv):
                 o = obj["position"]
                 d = np.hypot(o["x"] - pos["x"], o["z"] - pos["z"])
             best = min(best, d)
-        return float(best)
+        return float(best) if np.isfinite(best) else 0.0
 
     def _obs(self, event=None) -> Dict[str, np.ndarray]:
         # Metadata queries (_geodesic_to_target) issue controller.step calls that

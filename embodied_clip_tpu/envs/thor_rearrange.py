@@ -159,11 +159,15 @@ class THORRearrangeEnv(HostEnv):
             if reach else set()
         if displaced:
             # THOR's SetObjectPoses keys entries by the object's `name` metadata
-            # field and DISABLES any pickupable/moveable object missing from the
-            # list — so every pickupable object gets a pose, moved or not (the
-            # upstream unshuffle-phase contract).
+            # field and DISABLES any pickupable OR moveable object missing from
+            # the list — so every placeable object gets a pose, moved or not
+            # (the upstream unshuffle-phase contract). Omitting moveable-but-
+            # not-pickupable objects (chairs etc.) would silently remove them
+            # from the scene while the goal view still shows them.
+            placeable = [o for o in objs
+                         if o.get("pickupable") or o.get("moveable")]
             poses = []
-            for o in pickupable:
+            for o in placeable:
                 if o["objectId"] in displaced:
                     p = self.rng.choice(reach)
                     pos = dict(x=p["x"], y=o["position"]["y"], z=p["z"])

@@ -64,6 +64,12 @@ def _worker(remote, env_fn, ring_info, slot):
                 return
     except (KeyboardInterrupt, EOFError):
         env.close()
+    except Exception as e:  # report the real error before dying — otherwise
+        # the parent only sees a context-free dead pipe
+        try:
+            remote.send(("error", f"{type(e).__name__}: {e}"))
+        finally:
+            raise
 
 
 class VectorEnv:
@@ -92,11 +98,12 @@ class VectorEnv:
         self.num_actions = None
         self._last_obs: List[Optional[Dict]] = [None] * self.n
         self._straggler_pending: List[int] = []
-        # Workers respawned since their last recorded transition: their NEXT
-        # reply answers an action computed from a stale (pre-respawn) obs and
-        # executed in a fresh episode, so step_wait records it invalid and
-        # done=True (episode boundary → the collector resets the GRU carry and
-        # prev_action instead of bleeding state across the respawn).
+        # Workers that crossed an episode boundary the collector never saw —
+        # respawned (fresh env) or a drained straggler reply with done=True.
+        # Their NEXT reply answers an action computed from stale pre-boundary
+        # obs and executed in the new episode, so step_wait records it invalid
+        # and done=True (the collector resets the GRU carry and prev_action
+        # instead of bleeding state across the boundary).
         self._respawned_pending: set = set()
         self.respawn_count = 0
 
@@ -149,14 +156,24 @@ class VectorEnv:
             while True:
                 if self.remotes[i].poll(0.005):
                     try:
-                        _tag, payload = self.remotes[i].recv()
+                        tag, payload = self.remotes[i].recv()
                     except (EOFError, OSError):
                         break
+                    if tag == "error":
+                        raise RuntimeError(
+                            f"env worker {i} failed: {payload}")
                     obs = payload[0]
                     if self.ring is not None:
                         obs = dict(obs)
                         obs["visual"] = self.ring.read(i)
                     self._last_obs[i] = obs
+                    if tag == "trans" and payload[2]:
+                        # The delayed reply crossed an episode boundary (done
+                        # =True) the collector never saw: the action it is
+                        # about to execute was computed from pre-done obs, so
+                        # mask its next transition invalid + done to reset
+                        # recurrent state (same contract as a respawn).
+                        self._respawned_pending.add(i)
                     got = True
                     break
                 if self._worker_dead(i) or time.monotonic() >= deadline:
@@ -248,6 +265,11 @@ class VectorEnv:
                         pending.discard(i)  # died mid-send → straggler path
                         progressed = True
                         continue
+                    if tag == "error":
+                        # The worker hit a real exception (not a process
+                        # death): surface its message instead of training on
+                        # silence or respawn-looping.
+                        raise RuntimeError(f"env worker {i} failed: {payload}")
                     obs, reward, done, info = payload
                     if self.ring is not None:
                         obs = dict(obs)
@@ -315,11 +337,19 @@ class VectorEnv:
             # trust _respawn itself places in its post-reset recv)
             return self.remotes[i].recv()[1]
 
+        # Broadcast all queries FIRST (as step_async does) so the n workers'
+        # expert computations — shortest paths can cost 50-200 ms each —
+        # overlap instead of serializing behind each gather.
+        dead_at_send = []
         for i, r in enumerate(self.remotes):
             try:
                 r.send(("expert", None))
             except (BrokenPipeError, OSError):
-                out[i] = respawn_and_ask(i)
+                dead_at_send.append(i)
+        for i in dead_at_send:
+            out[i] = respawn_and_ask(i)
+        for i in range(self.n):
+            if i in dead_at_send:
                 continue
             got = False
             while not got:
@@ -332,6 +362,8 @@ class VectorEnv:
                     if tag == "expert":
                         out[i] = payload
                         got = True
+                    elif tag == "error":
+                        raise RuntimeError(f"env worker {i} failed: {payload}")
                     else:
                         # stale step/reset reply that slipped past the drain:
                         # record its obs and keep waiting for the expert reply

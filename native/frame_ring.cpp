@@ -82,6 +82,11 @@ void* fr_attach(const char* name, int nslots, long slot_bytes) {
 }
 
 // Publish a frame: seq -> odd (write in progress), copy, seq -> even.
+// The in-progress value is forced odd (s | 1) rather than blindly s + 1: if
+// the previous writer died mid-write (respawned worker inheriting an odd seq),
+// s + 1 would publish EVEN while the copy is in flight (torn reads accepted)
+// and then park the slot on odd forever (every later read spins out). s | 1
+// keeps readers retrying during the copy and restores even/stable parity.
 void fr_write(void* handle, int slot, const unsigned char* data, long n) {
   auto* h = static_cast<Handle*>(handle);
   if (!h || slot < 0 || slot >= h->nslots) return;
@@ -89,11 +94,11 @@ void fr_write(void* handle, int slot, const unsigned char* data, long n) {
                           ? static_cast<std::size_t>(n)
                           : h->slot_bytes;
   auto* seq = slot_seq(h, slot);
-  uint64_t s = seq->load(std::memory_order_relaxed);
-  seq->store(s + 1, std::memory_order_release);       // odd: writer active
+  uint64_t w = seq->load(std::memory_order_relaxed) | 1;
+  seq->store(w, std::memory_order_release);           // odd: writer active
   std::atomic_thread_fence(std::memory_order_acquire);
   std::memcpy(slot_data(h, slot), data, count);
-  seq->store(s + 2, std::memory_order_release);       // even: stable
+  seq->store(w + 1, std::memory_order_release);       // even: stable
 }
 
 // Read the latest stable frame; retries while a write is in flight.

@@ -29,6 +29,12 @@ DEFAULT_OBJECTS = [
     dict(objectType="Fridge", objectId="Fridge|1", name="Fridge_d4",
          position=dict(x=2.75, y=0.0, z=2.75),
          pickupable=False, openable=True, isOpen=False, receptacle=True),
+    # moveable-but-not-pickupable (chairs etc.): real THOR's SetObjectPoses
+    # disables these too when they are missing from the poses list
+    dict(objectType="Chair", objectId="Chair|1", name="Chair_e5",
+         position=dict(x=0.5, y=0.0, z=2.5),
+         pickupable=False, moveable=True, openable=False, isOpen=False,
+         receptacle=False),
 ]
 
 
@@ -168,8 +174,11 @@ class FakeController:
                                        error=f"no object named {nm!r}")
                 by_name[nm]["position"] = dict(pose["position"])
                 posed.add(nm)
-            self.objects = [o for o in self.objects
-                            if not o["pickupable"] or o["name"] in posed]
+            self.objects = [
+                o for o in self.objects
+                if not (o["pickupable"] or o.get("moveable"))
+                or o["name"] in posed
+            ]
             return self._event()
         if a == "PickupObject":
             oid = kwargs.get("objectId")

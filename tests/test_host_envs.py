@@ -86,6 +86,82 @@ def test_vector_env_worker_death_recovery():
         venv.close()
 
 
+def test_drained_straggler_done_masks_next_transition():
+    """A straggler whose DELAYED reply crossed an episode boundary (done=True)
+    must have its next transition masked invalid + done — the action it
+    executes was computed from stale pre-done obs, and the GRU carry must
+    reset at the boundary (same contract as a respawn)."""
+    import time
+
+    class SlowDoneSecondStep(HostGridNav):
+        calls = 0
+
+        def __init__(self, slow, **kw):
+            super().__init__(**kw)
+            self._slow = slow
+
+        def step(self, a):
+            type(self).calls += 1
+            obs, r, d, info = super().step(a)
+            if self._slow and type(self).calls == 2:
+                time.sleep(0.6)
+                d = True  # the delayed reply ends the episode
+                obs = self.reset()
+            return obs, r, d, info
+
+    fns = [lambda i=i: SlowDoneSecondStep(slow=(i == 2), size=5, seed=i)
+           for i in range(3)]
+    venv = VectorEnv(fns, frame_shape=(56, 56, 3), cutoff_fraction=0.67,
+                     cutoff_timeout_s=0.05)
+    try:
+        venv.reset()
+        _, _, d1, _, v1 = venv.step(np.zeros(3, np.int64))
+        assert v1.all() and not d1[2]
+        # worker 2 sleeps past the cutoff: masked, done suppressed
+        _, _, d2, _, v2 = venv.step(np.zeros(3, np.int64))
+        assert not v2[2] and not d2[2]
+        # drain consumed the done=True reply -> this transition is the
+        # boundary mask: invalid AND done, so the collector resets state
+        _, _, d3, _, v3 = venv.step(np.zeros(3, np.int64))
+        assert not v3[2] and d3[2]
+        assert v3[0] and v3[1]
+        # back to coherent stepping
+        _, _, _, _, v4 = venv.step(np.zeros(3, np.int64))
+        assert v4.all()
+    finally:
+        venv.close()
+
+
+def test_frame_ring_recovers_from_writer_death_mid_write():
+    """A writer killed between the odd and even seq stores leaves the slot's
+    seqlock odd; the next writer (a respawned worker) must restore stable
+    parity instead of parking the slot on odd forever (reader spin-out)."""
+    import mmap
+    import struct
+
+    from embodied_clip_tpu.native.frame_ring import FrameRing, frame_ring_available
+
+    if not frame_ring_available():
+        pytest.skip("native frame ring not built")
+    ring = FrameRing.create(2, (4, 4, 3))
+    try:
+        f0 = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+        ring.write(0, f0)
+        np.testing.assert_array_equal(ring.read(0), f0)
+        # simulate death mid-write: force slot 0's seq word odd
+        with open("/dev/shm" + ring.name, "r+b") as f:
+            m = mmap.mmap(f.fileno(), 0)
+            seq = struct.unpack_from("<Q", m, 0)[0]
+            struct.pack_into("<Q", m, 0, seq | 1)
+            m.flush()
+            m.close()
+        f1 = f0 + 1
+        ring.write(0, f1)  # fresh writer inherits the odd seq
+        np.testing.assert_array_equal(ring.read(0), f1)  # must not spin out
+    finally:
+        ring.close()
+
+
 def test_vector_env_reports_env_construction_failure():
     """A worker whose env constructor raises (e.g. simulator not installed)
     must surface THAT message, not respawn-loop into ConnectionResetError."""

@@ -64,20 +64,25 @@ def test_expert_restores_scene():
     assert info["num_newly_misplaced"] == 0.0
 
 
-def test_shuffle_poses_keyed_by_name_cover_all_pickupables():
+def test_shuffle_poses_keyed_by_name_cover_all_placeables():
     # Real THOR keys SetObjectPoses by the object's `name` metadata field and
-    # disables pickupables missing from the list — the env must send every
-    # pickupable's pose, keyed by name, and none may vanish from the scene.
+    # disables pickupable AND moveable objects missing from the list — the env
+    # must send every placeable's pose, keyed by name, and none may vanish
+    # from the scene (a missing chair would make the unshuffle scene silently
+    # differ from the goal view the policy is conditioned on).
     env = make_env()
     env.reset()
     calls = [kw for c, kw in env.controller.calls if c == "SetObjectPoses"]
     assert calls, "shuffle never issued SetObjectPoses"
     names = {p["objectName"] for p in calls[0]["objectPoses"]}
-    pickup_names = {o["name"] for o in env.controller._template
-                    if o["pickupable"]}
-    assert names == pickup_names
+    placeable_names = {o["name"] for o in env.controller._template
+                       if o["pickupable"] or o.get("moveable")}
+    assert names == placeable_names
+    assert any(not o["pickupable"] and o.get("moveable")
+               for o in env.controller._template), \
+        "fixture must include a moveable-but-not-pickupable object"
     live = {o["name"] for o in env.controller.objects}
-    assert pickup_names <= live, "a pickupable object was disabled by the shuffle"
+    assert placeable_names <= live, "a placeable object was disabled by the shuffle"
 
 
 def test_set_object_poses_failure_raises():

@@ -256,6 +256,17 @@ class _QuantizedCLIPEncoder(FrozenEncoder):
         return os.environ.get("ECT_PALLAS_STAGE1", "0") == "1"
 
     @staticmethod
+    def _use_pallas_stem() -> bool:
+        """stem3 as one im2col matmul + fused requant + int8 pool
+        (ops/pallas/stem_kernel.py): lifts the conv's C_in=32 MXU cap (~30%)
+        toward the N=64 lane limit (~50%). Exact up to the stage-1 kernel's
+        ±1-step requant-tie contract. Default OFF until measured faster on
+        real hardware; opt in with ECT_PALLAS_STEM=1."""
+        import os
+
+        return os.environ.get("ECT_PALLAS_STEM", "0") == "1"
+
+    @staticmethod
     def _use_pallas_resblocks() -> bool:
         """Fused wide-channel identity-resblock Pallas kernel for stages 2-4
         (bit-exact vs the XLA int8 graph). Default OFF: measured 2.2x slower
@@ -274,7 +285,8 @@ class _QuantizedCLIPEncoder(FrozenEncoder):
         conv = quantized_trunk_apply(variables["qtrunk"], x, self.stage_sizes,
                                      out_dtype=self.dtype,
                                      pallas_stage1=self._use_pallas_stage1(),
-                                     pallas_resblocks=self._use_pallas_resblocks())
+                                     pallas_resblocks=self._use_pallas_resblocks(),
+                                     pallas_stem=self._use_pallas_stem())
         avg = jnp.mean(conv.astype(jnp.float32), axis=(1, 2)).astype(conv.dtype)
         embed = self._attnpool.apply({"params": variables["attnpool"]}, conv)
         out = {"clip_conv": conv, "clip_avgpool": avg, "clip_attnpool": embed}

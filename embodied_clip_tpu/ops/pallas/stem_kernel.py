@@ -1,0 +1,103 @@
+"""Pallas TPU kernel: CLIP stem3 conv as one im2col matmul + requant + pool.
+
+Motivation (measured on v5e, batch 128, STATUS.md round-3 profile): stem3
+(3x3 conv, 32->64 over 112^2) runs at ~30% bf16 MXU in XLA's conv emitter —
+the C_in=32 contraction uses a quarter of the MXU's 128-deep K window. Folding
+the 9 taps into the contraction (im2col: K = 9*32 = 288) lifts the cap to the
+N=64 output-lane limit (~50%), and fusing the requant epilogue plus the exact
+2x2 int8 mean-pool writes the pooled s8 tensor directly — HBM traffic is
+"read stem2-out bf16, write pooled s8" with no 112^2 intermediate.
+
+Numerics: bf16 products accumulated in f32 (same math as XLA's conv), then the
+same +0.5/truncating requant as ops/quantize._requant with the relu folded
+into the clip-at-0, then _avg_pool_int8's round-half-up integer mean. The f32
+accumulation ORDER differs from the conv emitter's, so vs the XLA graph a tiny
+fraction of elements can flip by one s8 step at requant ties (the same
+contract as the fused stage-1 kernel; see tests/test_stem_kernel.py).
+
+Status: experimental, default off (ECT_PALLAS_STEM=1) until measured faster
+than the XLA fusion on real hardware — the prior fused-kernel experiments
+(STATUS.md round-3 negative results) lost to XLA on halo-slice relayouts, and
+this kernel's im2col build has the same risk profile.
+
+Reference anchor: replaces the stem compute of thor_image_features.py:57-68's
+frozen CLIP visual encoder (the serving hot path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["stem3_requant_pool_int8"]
+
+
+def _kernel(x_ref, w_ref, b_ref, s_ref, out_ref, pad_ref, col_ref,
+            *, h, w, cin, cout, bt):
+    f32 = jnp.float32
+    # zero-padded halo for the 3x3 'SAME' window
+    pad_ref[...] = jnp.zeros_like(pad_ref)
+    pad_ref[:, 1:h + 1, 1:w + 1, :] = x_ref[...]
+
+    # im2col: 9 shifted views concatenated along channels -> K = 9*cin
+    for t in range(9):
+        ky, kx = divmod(t, 3)
+        col_ref[:, :, :, t * cin:(t + 1) * cin] = \
+            pad_ref[:, ky:ky + h, kx:kx + w, :]
+
+    # one matmul at full contraction depth, f32 accumulation
+    y = jnp.dot(col_ref[...].reshape(bt * h * w, 9 * cin), w_ref[...],
+                preferred_element_type=f32) + b_ref[...]
+    # requant with the relu folded into the clip-at-0 (ops/quantize._requant)
+    q = jnp.clip(y / s_ref[0, 0] + 0.5, 0.0, 127.0).astype(jnp.int32)
+    # exact integer 2x2 mean-pool, round-half-up (ops/quantize._avg_pool_int8)
+    q = q.reshape(bt, h, w, cout)
+    summed = (q[:, 0::2, 0::2, :] + q[:, 0::2, 1::2, :]
+              + q[:, 1::2, 0::2, :] + q[:, 1::2, 1::2, :])
+    out_ref[...] = ((summed + 2) // 4).astype(jnp.int8)
+
+
+def stem3_requant_pool_int8(x: jnp.ndarray, kernel, bias, scale,
+                            batch_tile: int = 1,
+                            interpret: bool = False) -> jnp.ndarray:
+    """x (N,H,W,Cin) bf16 (stem2 output), kernel (3,3,Cin,Cout), bias (Cout,)
+    f32, scale: the stem.out activation scale. Returns the requantized,
+    2x2-mean-pooled stem output (N, H/2, W/2, Cout) int8 — exactly
+    _avg_pool_int8(_requant(conv+bias, scale), 2) with the relu folded."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = interpret or jax.default_backend() == "cpu"
+    n, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    bt = batch_tile
+    assert n % bt == 0, (n, bt)
+
+    wmat = jnp.asarray(kernel, jnp.bfloat16).reshape(9 * cin, cout)
+    b = jnp.asarray(bias, jnp.float32).reshape(1, cout)
+    s = jnp.asarray(scale, jnp.float32).reshape(1, 1)
+
+    kfn = functools.partial(_kernel, h=h, w=w, cin=cin, cout=cout, bt=bt)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i, _s=a.shape: (0,) * len(_s),
+                                  memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kfn,
+        grid=(n // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, h, w, cin), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(wmat), full(b), full(s),
+        ],
+        out_specs=pl.BlockSpec((bt, h // 2, w // 2, cout),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h // 2, w // 2, cout), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((bt, h + 2, w + 2, cin), x.dtype),
+            pltpu.VMEM((bt, h, w, 9 * cin), x.dtype),
+        ],
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16), wmat, b, s)

@@ -297,13 +297,16 @@ def _resblocks_batch_tile(shape) -> int:
 
 def quantized_trunk_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
                           out_dtype=jnp.bfloat16, pallas_stage1: bool = False,
-                          pallas_resblocks: bool = False):
+                          pallas_resblocks: bool = False,
+                          pallas_stem: bool = False):
     """int8 trunk forward: x is the preprocessed image batch (f32/bf16 NHWC).
     Returns the conv feature map in out_dtype. pallas_stage1 runs stage 1
     through the fused int8 Pallas kernel (not a win on this runtime — see
     STATUS.md); pallas_resblocks runs each later stage's stride-1 identity
     bottlenecks through the fused wide-channel int8 kernel (block 0 of each
-    stage — stride pool + conv shortcut — stays on XLA)."""
+    stage — stride pool + conv shortcut — stays on XLA); pallas_stem runs
+    stem3 + requant + pool as one im2col-matmul kernel (ops/pallas/
+    stem_kernel.py)."""
     a = q["act_scales"]
 
     def fp_conv(name, t, stride=1, relu=True):
@@ -338,13 +341,24 @@ def quantized_trunk_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
 
     t = fp_conv("stem1", x, 2)
     t = fp_conv("stem2", t)
-    t = fp_conv("stem3", t)
-    # Quantize pre-pool (scale calibrated pre-pool) + exact integer mean-pool:
-    # the requant fuses into stem3's conv epilogue and the pool moves bytes on
-    # the int8 grid instead of bf16 (with the s8 shortcut outputs below:
-    # 13.54k → 13.73k frames/s at batch 128).
     s_in = a["stem.out"]
-    t8 = _avg_pool_int8(_requant(t, s_in), 2)
+    if pallas_stem and t.shape[1] % 2 == 0 and t.shape[2] % 2 == 0:
+        from embodied_clip_tpu.ops.pallas.stem_kernel import (
+            stem3_requant_pool_int8,
+        )
+
+        sub = q["fp"]["stem3"]["conv"]
+        t8 = stem3_requant_pool_int8(t.astype(jnp.bfloat16), sub["kernel"],
+                                     sub["bias"], s_in)
+    else:
+        # stem3's relu folds into _requant's clip-at-0 (bit-identical; one
+        # fewer VPU pass in the stem3 epilogue fusion), like the block relus.
+        t = fp_conv("stem3", t, relu=False)
+        # Quantize pre-pool (scale calibrated pre-pool) + exact integer
+        # mean-pool: the requant fuses into stem3's conv epilogue and the pool
+        # moves bytes on the int8 grid instead of bf16 (with the s8 shortcut
+        # outputs below: 13.54k → 13.73k frames/s at batch 128).
+        t8 = _avg_pool_int8(_requant(t, s_in), 2)
 
     blocks = list(_block_names(stage_sizes))
     if pallas_stage1 and stage_sizes[0] == 3:
@@ -519,7 +533,8 @@ def quantized_resnet_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
             out = _conv(t8, k, stride, pet=jnp.int32)
         return out.astype(jnp.float32) * (in_scale * sub["w_scale"]) + sub["bias"]
 
-    t = fp_conv("stem", x, 2)
+    # stem relu folds into _requant's clip-at-0 (bit-identical)
+    t = fp_conv("stem", x, 2, relu=False)
     s_in = a["stem.out"]
     t8 = _max_pool_int8(_requant(t, s_in))
 

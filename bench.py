@@ -35,7 +35,6 @@ def main():
     n1 = int(os.environ.get("BENCH_N1", "10"))
     n2 = int(os.environ.get("BENCH_N2", "110"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    resize_dtype = os.environ.get("BENCH_RESIZE_DTYPE", "float32")
     model = os.environ.get("BENCH_MODEL", "clip_rn50")  # any ENCODER_SPECS name
 
     # int8 trunk is the default serving configuration: full-size RN50 cosine vs f32
@@ -47,15 +46,17 @@ def main():
     if os.environ.get("BENCH_FOLD_BN", "1") == "1":
         enc = enc.fold_bn()
     if quant == "int8":
-        # Calibrate activation scales on the structured golden parity frames —
-        # never synthetic noise, whose maxima mis-scale natural-image activations.
-        from embodied_clip_tpu.parity import golden_frames
+        from embodied_clip_tpu.models.clip_resnet import CLIP_RESNET_CONFIGS
 
-        enc = enc.quantize(golden_frames(n=32))
-    if resize_dtype != "float32":
-        import dataclasses
+        # ViT archs have no int8 trunk — bench them on the bf16 path instead
+        # of crashing (same guard as generate_data/extract._build_encoders).
+        if enc.spec.family == "imagenet" or enc.spec.arch in CLIP_RESNET_CONFIGS:
+            # Calibrate activation scales on the structured golden parity
+            # frames — never synthetic noise, whose maxima mis-scale
+            # natural-image activations.
+            from embodied_clip_tpu.parity import golden_frames
 
-        enc.preprocess = dataclasses.replace(enc.preprocess, resize_matmul_dtype=resize_dtype)
+            enc = enc.quantize(golden_frames(n=32))
 
     rng = np.random.RandomState(0)
     # Flat-channels (n, h, w*3) staging: the layout the fused preprocess kernel

@@ -66,6 +66,14 @@ class FeatureStoreWriter:
         #                 "clip": build_encoder("clip_rn50")}
         self.encoders = dict(encoders)
         self.batch_size = batch_size
+        # Two encoders of the same family emit the same output keys
+        # (clip_conv/...): silently merging them would misalign or
+        # shape-mismatch far from the cause — reject up front.
+        prefixes = [getattr(getattr(e, "spec", None), "key_prefix", str(i))
+                    for i, e in enumerate(self.encoders.values())]
+        assert len(set(prefixes)) == len(prefixes), (
+            f"encoders share output key prefixes {prefixes}; "
+            "one encoder per family (clip/imagenet) per writer")
 
     def encode_frames(self, frames_u8: np.ndarray) -> Dict[str, np.ndarray]:
         """uint8 (N,H,W,3) → all feature keys, batched through the fused graphs."""
@@ -103,9 +111,15 @@ class FeatureStoreWriter:
         object_localization (N,9,52), free_space (N,)) or derived from
         semantic_frames + object_id_to_colors + free_space.
         """
+        if labels is None:
+            # validate BEFORE the expensive encode
+            assert (semantic_frames is not None
+                    and object_id_to_colors is not None
+                    and free_space is not None), (
+                "deriving labels needs semantic_frames, object_id_to_colors "
+                "AND free_space (or pass precomputed labels=)")
         store = self.encode_frames(frames)
         if labels is None:
-            assert semantic_frames is not None and object_id_to_colors is not None
             pres, grid = [], []
             for sem, colors in zip(semantic_frames, object_id_to_colors):
                 m = class_masks(sem, colors)

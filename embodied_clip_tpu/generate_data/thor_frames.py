@@ -83,7 +83,12 @@ def generate(output_dir: str, seed: int = 0, scenes=None) -> None:
         locations = list(controller.last_event.metadata["actionReturn"])
 
         records = []
-        while len(records) < FRAMES_PER_SCENE[split]:
+        # Bound total sampling so a scene where no pose ever clears the pixel
+        # fraction (no visible target objects) cannot hang the whole run — we
+        # warn and move on with whatever was collected.
+        attempts_left = 200 * FRAMES_PER_SCENE[split]
+        while len(records) < FRAMES_PER_SCENE[split] and attempts_left > 0:
+            attempts_left -= 1
             pos = rng.choice(locations)
             event = None
             for _ in range(MAX_POSE_TRIES):
@@ -117,6 +122,11 @@ def generate(output_dir: str, seed: int = 0, scenes=None) -> None:
                 "valid_moves_forward": _count_free_steps(controller),
             })
 
+        if len(records) < FRAMES_PER_SCENE[split]:
+            print(f"WARNING: {scene_name}: only {len(records)}/"
+                  f"{FRAMES_PER_SCENE[split]} poses cleared the "
+                  f"{MIN_OBJECT_PIXEL_FRACTION:.3f} pixel-fraction filter "
+                  "within the attempt budget; saving the partial scene")
         np.save(os.path.join(output_dir, split, f"{scene_name}.npy"), records)
 
 

@@ -78,7 +78,6 @@ class CLIPBottleneck(nn.Module):
 
         identity = x
         if self.stride > 1 or x.shape[-1] != out_feats:
-            identity = x
             if self.stride > 1:
                 identity = _avg_pool(identity, self.stride)
             identity = cb(out_feats, 1, "down")(identity, train)

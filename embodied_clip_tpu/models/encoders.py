@@ -85,9 +85,8 @@ class FrozenEncoder:
             # Throughput mode: the fused pallas preprocess kernel (1.46x the XLA
             # lowering on v5e; ≤1 LSB pixel diff, absorbed by the uint8-grid
             # quantize). f32 encoders keep the full-precision XLA path.
-            import dataclasses as _dc
-
-            self.preprocess = _dc.replace(self.preprocess, use_pallas=True)
+            self.preprocess = dataclasses.replace(self.preprocess,
+                                                  use_pallas=True)
         self._encode = jax.jit(self._encode_impl)
         self._encode_flat = None  # built lazily (needs a concrete device)
 
@@ -155,6 +154,8 @@ class FrozenEncoder:
         in the compute dtype, no BN ops or f32 cast islands."""
         from embodied_clip_tpu.ops.fold_bn import fold_conv_bn_tree
 
+        if getattr(self.module, "folded", False):
+            return self  # idempotent: already folded (no batch_stats to fold)
         fold = jax.jit(fold_conv_bn_tree)  # one program, stays on device
         if self.spec.family == "imagenet":
             cfg = RESNET_CONFIGS[self.spec.arch]
@@ -189,6 +190,8 @@ class FrozenEncoder:
             quantize_resnet_trunk, quantize_trunk,
         )
 
+        if "qtrunk" in self.variables:
+            return self  # idempotent: already quantized (f32 params are gone)
         folded = self if getattr(self.module, "folded", False) else self.fold_bn()
         x = folded.preprocess(jnp.asarray(calibration_frames))
         if self.spec.family == "imagenet":

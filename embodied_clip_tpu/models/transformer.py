@@ -34,12 +34,19 @@ class MultiHeadAttention(nn.Module):
         q = q.reshape(n, t, self.num_heads, head_dim)
         k = k.reshape(n, t, self.num_heads, head_dim)
         v = v.reshape(n, t, self.num_heads, head_dim)
-        logits = jnp.einsum("nqhd,nkhd->nhqk", q, k).astype(jnp.float32)
+        # f32 accumulation pinned on the logits dot (MXU accumulates f32
+        # anyway; without preferred_element_type the output would round to
+        # bf16 BEFORE the f32 softmax, defeating the precision policy —
+        # same pattern as AttentionPool2d's einsums).
+        logits = jnp.einsum("nqhd,nkhd->nhqk", q, k,
+                            preferred_element_type=jnp.float32)
         logits = logits / (head_dim ** 0.5)
         if mask is not None:
             logits = logits + mask.astype(jnp.float32)
         attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("nhqk,nkhd->nqhd", attn, v).reshape(n, t, c)
+        out = jnp.einsum("nhqk,nkhd->nqhd", attn, v,
+                         preferred_element_type=jnp.float32)
+        out = out.astype(self.dtype).reshape(n, t, c)
         return nn.Dense(c, dtype=self.dtype, name="out_proj")(out)
 
 

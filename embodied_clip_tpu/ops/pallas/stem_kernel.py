@@ -35,28 +35,43 @@ __all__ = ["stem3_requant_pool_int8"]
 
 
 def _kernel(x_ref, w_ref, b_ref, s_ref, out_ref, pad_ref, col_ref,
-            *, h, w, cin, cout, bt):
+            *, h, w, cin, cout, bt, rc):
     f32 = jnp.float32
     # zero-padded halo for the 3x3 'SAME' window
     pad_ref[...] = jnp.zeros_like(pad_ref)
     pad_ref[:, 1:h + 1, 1:w + 1, :] = x_ref[...]
 
-    # im2col: 9 shifted views concatenated along channels -> K = 9*cin
-    for t in range(9):
-        ky, kx = divmod(t, 3)
-        col_ref[:, :, :, t * cin:(t + 1) * cin] = \
-            pad_ref[:, ky:ky + h, kx:kx + w, :]
+    # Row-chunked im2col + matmul: materializing the full (h*w, 9*cin) col
+    # tensor plus its f32 matmul output blows the 16 MB scoped-VMEM limit at
+    # 112^2, so each pass builds `rc` rows' col block into a reused scratch,
+    # runs one matmul at full contraction depth (K = 9*cin), and writes that
+    # chunk's pooled s8 rows.
+    for r0 in range(0, h, rc):
+        # 9 shifted views concatenated along channels
+        for t in range(9):
+            ky, kx = divmod(t, 3)
+            col_ref[:, :, :, t * cin:(t + 1) * cin] = \
+                pad_ref[:, r0 + ky:r0 + ky + rc, kx:kx + w, :]
 
-    # one matmul at full contraction depth, f32 accumulation
-    y = jnp.dot(col_ref[...].reshape(bt * h * w, 9 * cin), w_ref[...],
-                preferred_element_type=f32) + b_ref[...]
-    # requant with the relu folded into the clip-at-0 (ops/quantize._requant)
-    q = jnp.clip(y / s_ref[0, 0] + 0.5, 0.0, 127.0).astype(jnp.int32)
-    # exact integer 2x2 mean-pool, round-half-up (ops/quantize._avg_pool_int8)
-    q = q.reshape(bt, h, w, cout)
-    summed = (q[:, 0::2, 0::2, :] + q[:, 0::2, 1::2, :]
-              + q[:, 1::2, 0::2, :] + q[:, 1::2, 1::2, :])
-    out_ref[...] = ((summed + 2) // 4).astype(jnp.int8)
+        y = jnp.dot(col_ref[...].reshape(bt * rc * w, 9 * cin), w_ref[...],
+                    preferred_element_type=f32) + b_ref[...]
+        # requant with the relu folded into the clip-at-0 (quantize._requant);
+        # floor == the truncating s8 convert on non-negative values, kept in
+        # f32 (values <= 127 are exact) so the pool stays on the f32 VPU path
+        q = jnp.floor(jnp.clip(y / s_ref[0, 0] + 0.5, 0.0, 127.0))
+        # exact integer 2x2 mean-pool, round-half-up (quantize._avg_pool_int8).
+        # Mosaic lowers stride-2 slices of >2D values to an unsupported
+        # gather, so the pairing is written as split-leading-dim reshapes +
+        # unit slices (pure layout ops): w-major flattening makes horizontal
+        # neighbors adjacent rows; vertical neighbors then pair on a split dim.
+        q = q.reshape(bt * rc * w // 2, 2, cout)
+        h1 = q[:, 0, :] + q[:, 1, :]
+        h1 = h1.reshape(bt * rc // 2, 2, w // 2, cout)
+        v = h1[:, 0] + h1[:, 1]
+        # sums <= 508 and (v+2)/4 are exact in f32; floor == trunc on >=0
+        out = jnp.floor((v + 2.0) * 0.25)
+        out_ref[:, r0 // 2:(r0 + rc) // 2] = \
+            out.reshape(bt, rc // 2, w // 2, cout).astype(jnp.int8)
 
 
 def stem3_requant_pool_int8(x: jnp.ndarray, kernel, bias, scale,
@@ -80,7 +95,15 @@ def stem3_requant_pool_int8(x: jnp.ndarray, kernel, bias, scale,
     b = jnp.asarray(bias, jnp.float32).reshape(1, cout)
     s = jnp.asarray(scale, jnp.float32).reshape(1, 1)
 
-    kfn = functools.partial(_kernel, h=h, w=w, cin=cin, cout=cout, bt=bt)
+    # Rows per im2col chunk: largest even divisor of h keeping the col scratch
+    # (+ its ~3x f32 matmul/requant temporaries) comfortably inside the 16 MB
+    # scoped-VMEM budget alongside the image and halo blocks.
+    rc = 2
+    for cand in range(2, h + 1, 2):
+        if h % cand == 0 and bt * cand * w * 9 * cin * 2 <= 2 << 20:
+            rc = cand
+
+    kfn = functools.partial(_kernel, h=h, w=w, cin=cin, cout=cout, bt=bt, rc=rc)
     full = lambda a: pl.BlockSpec(a.shape, lambda i, _s=a.shape: (0,) * len(_s),
                                   memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -97,7 +120,7 @@ def stem3_requant_pool_int8(x: jnp.ndarray, kernel, bias, scale,
         out_shape=jax.ShapeDtypeStruct((n, h // 2, w // 2, cout), jnp.int8),
         scratch_shapes=[
             pltpu.VMEM((bt, h + 2, w + 2, cin), x.dtype),
-            pltpu.VMEM((bt, h, w, 9 * cin), x.dtype),
+            pltpu.VMEM((bt, rc, w, 9 * cin), x.dtype),
         ],
         interpret=interpret,
     )(x.astype(jnp.bfloat16), wmat, b, s)

@@ -66,13 +66,10 @@ def main():
     from embodied_clip_tpu.models.encoders import _row_major_format
 
     fmt = _row_major_format(3)
-    bufs = [
-        jax.device_put(
-            jnp.asarray(rng.randint(0, 256, (batch, 300, 300, 3), np.uint8)
-                        .reshape(batch, 300, 900)),
-            *( [fmt] if fmt is not None else [] ))
-        for _ in range(2)
-    ]
+    put = (lambda a: jax.device_put(a, fmt)) if fmt is not None else jax.device_put
+    host = [rng.randint(0, 256, (batch, 300, 300, 3), np.uint8)
+            .reshape(batch, 300, 900) for _ in range(3)]
+    bufs = [put(jnp.asarray(h)) for h in host[:2]]
     _drain(enc.encode(bufs[0]))  # compile + warm
 
     def run(n):
@@ -83,14 +80,35 @@ def main():
         _drain(out)
         return time.perf_counter() - t0
 
+    def run_staged(n):
+        """Fresh-frames serving loop: every iteration ships a NEW host batch
+        (the reference hot loop's host→device boundary,
+        thor_image_features.py:102-109). device_put is issued right after the
+        encode dispatch so the async transfer of batch i+1 overlaps batch i's
+        compute."""
+        t0 = time.perf_counter()
+        nxt = put(host[0])
+        out = None
+        for i in range(n):
+            out = enc.encode(nxt)
+            nxt = put(host[(i + 1) % len(host)])
+        _drain(out)
+        return time.perf_counter() - t0
+
     per_iter = min((run(n2) - run(n1)) / (n2 - n1) for _ in range(reps))
     fps = batch / per_iter
-    print(json.dumps({
+    result = {
         "metric": f"{model}_encode_frames_per_sec_per_chip",
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / 15000.0, 3),
-    }))
+    }
+    if os.environ.get("BENCH_STAGED", "0") == "1":
+        run_staged(2)  # warm the staged-path program/transfer machinery
+        per_staged = min((run_staged(n2) - run_staged(n1)) / (n2 - n1)
+                         for _ in range(reps))
+        result["staged_value"] = round(batch / per_staged, 1)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

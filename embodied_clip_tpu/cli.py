@@ -127,6 +127,30 @@ def _cmd_convert_weights(argv):
                       "folded": args.fold_bn}))
 
 
+def _cmd_convert_policy(argv):
+    """Released allenact RoboTHOR ObjectNav `.pt` → native orbax checkpoint
+    (readme_files/baselines_robothor_objectnav.md:54-68's pretrained models).
+    Evaluate with: train --config <objectnav exp> --override policy_arch=allenact
+    --ckpt <output> --eval."""
+    p = argparse.ArgumentParser(prog="convert-policy")
+    p.add_argument("--torch-checkpoint", required=True,
+                   help="released allenact .pt (ResnetTensorNavActorCritic)")
+    p.add_argument("--output", required=True, help="output checkpoint directory")
+    p.add_argument("--grid", type=int, default=7,
+                   help="frozen conv-map side (7 for RN50 @ 224px)")
+    args = p.parse_args(argv)
+
+    from embodied_clip_tpu.models.allenact_policy import load_allenact_checkpoint
+    from embodied_clip_tpu.utils.checkpoint import save_pytree
+
+    converted = load_allenact_checkpoint(args.torch_checkpoint, grid=args.grid)
+    # The architecture config rides along so eval can rebuild the exact module
+    # (dims of the released models differ from native ActorCritic defaults).
+    save_pytree(args.output, {"params": converted["params"],
+                              "allenact_config": dict(converted["config"])})
+    print(json.dumps({"output": args.output, "config": converted["config"]}))
+
+
 def _cmd_probe_sweep(argv):
     """Run the full probing grid (the readme's EMB_TYPE × PRED_TYPE sweep loops)."""
     p = argparse.ArgumentParser(prog="probe-sweep")
@@ -197,6 +221,7 @@ COMMANDS = {
     "probe-sweep": _cmd_probe_sweep,
     "extract-features": _cmd_extract_features,
     "convert-weights": _cmd_convert_weights,
+    "convert-policy": _cmd_convert_policy,
     "verify-parity": _cmd_verify_parity,
     "train": _cmd_train,
     "list-configs": _cmd_list_configs,

@@ -50,4 +50,6 @@ class VisionTransformer(nn.Module):
 
 CLIP_VIT_CONFIGS = {
     "ViT-B/32": dict(patch_size=32, width=768, layers=12, num_heads=12, output_dim=512, image_size=224),
+    # Smoke-scale ViT (full code path, CPU-test cost; not a paper model).
+    "ViTtiny": dict(patch_size=16, width=32, layers=2, num_heads=4, output_dim=16, image_size=64),
 }

@@ -46,8 +46,9 @@ ENCODER_SPECS = {
     "clip_rn50": EncoderSpec("clip", "RN50"),
     "clip_rn50x16": EncoderSpec("clip", "RN50x16"),
     "clip_vit_b32": EncoderSpec("clip", "ViT-B/32"),
-    # Smoke-scale CLIP resnet (full code path, CPU-test cost; not a paper model).
+    # Smoke-scale CLIP resnet/ViT (full code path, CPU-test cost; not paper models).
     "clip_rn_tiny": EncoderSpec("clip", "RNtiny"),
+    "clip_vit_tiny": EncoderSpec("clip", "ViTtiny"),
 }
 
 

@@ -76,11 +76,15 @@ def _kernel(x_ref, w_ref, b_ref, s_ref, out_ref, pad_ref, col_ref,
 
 def stem3_requant_pool_int8(x: jnp.ndarray, kernel, bias, scale,
                             batch_tile: int = 1,
-                            interpret: bool = False) -> jnp.ndarray:
+                            interpret: bool = False,
+                            row_chunk: int | None = None) -> jnp.ndarray:
     """x (N,H,W,Cin) bf16 (stem2 output), kernel (3,3,Cin,Cout), bias (Cout,)
     f32, scale: the stem.out activation scale. Returns the requantized,
     2x2-mean-pooled stem output (N, H/2, W/2, Cout) int8 — exactly
-    _avg_pool_int8(_requant(conv+bias, scale), 2) with the relu folded."""
+    _avg_pool_int8(_requant(conv+bias, scale), 2) with the relu folded.
+
+    row_chunk overrides the auto-sized im2col chunk (tests force rc < h to
+    exercise the multi-chunk path; must be an even divisor of H)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -98,10 +102,14 @@ def stem3_requant_pool_int8(x: jnp.ndarray, kernel, bias, scale,
     # Rows per im2col chunk: largest even divisor of h keeping the col scratch
     # (+ its ~3x f32 matmul/requant temporaries) comfortably inside the 16 MB
     # scoped-VMEM budget alongside the image and halo blocks.
-    rc = 2
-    for cand in range(2, h + 1, 2):
-        if h % cand == 0 and bt * cand * w * 9 * cin * 2 <= 2 << 20:
-            rc = cand
+    if row_chunk is not None:
+        assert row_chunk % 2 == 0 and h % row_chunk == 0, (row_chunk, h)
+        rc = row_chunk
+    else:
+        rc = 2
+        for cand in range(2, h + 1, 2):
+            if h % cand == 0 and bt * cand * w * 9 * cin * 2 <= 2 << 20:
+                rc = cand
 
     kfn = functools.partial(_kernel, h=h, w=w, cin=cin, cout=cout, bt=bt, rc=rc)
     full = lambda a: pl.BlockSpec(a.shape, lambda i, _s=a.shape: (0,) * len(_s),

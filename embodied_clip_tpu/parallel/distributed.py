@@ -30,6 +30,17 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
 
     if coordinator_address is None and num_processes in (None, 1):
         return False  # single-process: nothing to do
+    # Idempotent: the trainer calls this defensively even when the entry point
+    # already initialized the cluster. jax raises different errors for the
+    # double call depending on whether the backend is live, so consult the
+    # runtime's own state instead of matching messages.
+    try:
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is not None:
+            return True
+    except Exception:
+        pass
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -17,7 +17,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "batch_spec", "shard_time_major"]
+__all__ = ["make_mesh", "shard_batch", "replicate", "batch_spec",
+           "shard_time_major", "is_multiprocess", "local_view", "host_scalar"]
 
 
 def make_mesh(dp: Optional[int] = None, mp: int = 1,
@@ -52,8 +53,31 @@ def shard_batch(tree, mesh: Mesh, batch: Optional[int] = None):
     )
 
 
+def is_multiprocess(mesh: Mesh) -> bool:
+    """True when the mesh spans more than one JAX process (multi-host DD-PPO:
+    per-process env pools feed one global SPMD update; SURVEY.md §2.4 DCN row)."""
+    return len({d.process_index for d in mesh.devices.flat}) > 1
+
+
+def _put(tree, mesh: Mesh, specs):
+    """Place a pytree onto the mesh per-leaf specs. Single-process meshes use
+    device_put; multi-process meshes convert each process's HOST-LOCAL arrays
+    into one global array (concatenated along sharded axes in process order)
+    via multihost_utils — device_put cannot build cross-process arrays."""
+    if is_multiprocess(mesh):
+        from jax.experimental import multihost_utils
+
+        host = jax.tree.map(np.asarray, tree)
+        return multihost_utils.host_local_array_to_global_array(
+            host, mesh, specs)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs)
+
+
 def replicate(tree, mesh: Mesh):
-    return jax.tree.map(lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+    """Replicate a pytree over the mesh. Multi-process: every process must
+    pass the SAME host-local values (e.g. params initialized from one seed)."""
+    return _put(tree, mesh, jax.tree.map(lambda _: P(), tree))
 
 
 def shard_time_major(tree, mesh: Mesh, batch: int):
@@ -62,7 +86,11 @@ def shard_time_major(tree, mesh: Mesh, batch: int):
     Leaves whose second dim is the batch get P(None, 'dp'); leaves whose FIRST dim
     is the batch (e.g. the h0 hidden state or the (B,) bootstrap value) get P('dp');
     everything else replicates. This is how host-collected rollouts are placed for
-    the DD-PPO update: XLA then emits the gradient psum over ICI on its own.
+    the DD-PPO update: XLA then emits the gradient psum over ICI (DCN across
+    hosts) on its own. On a multi-process mesh, `batch` is the PER-PROCESS env
+    count and the resulting global batch is batch × process_count, concatenated
+    in process order (the reference's N-learner-processes deployment,
+    baselines_habitat.md:63-69).
     """
     def spec(x):
         shape = getattr(x, "shape", ())
@@ -72,6 +100,25 @@ def shard_time_major(tree, mesh: Mesh, batch: int):
             return P("dp")
         return P()
 
-    return jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, spec(x))), tree
-    )
+    return _put(tree, mesh, jax.tree.map(spec, tree))
+
+
+def local_view(tree):
+    """Process-local view of a pytree of (possibly global, non-addressable)
+    arrays: replicated leaves come back as their local shard — a zero-copy
+    jax.Array on the local device. Lets process-local computations (the host
+    rollout act step) consume globally replicated params without shipping
+    anything over DCN."""
+    def f(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return x.addressable_shards[0].data
+        return x
+
+    return jax.tree.map(f, tree)
+
+
+def host_scalar(v) -> float:
+    """float() of a possibly-global scalar array (replicated update metrics)."""
+    if isinstance(v, jax.Array) and not v.is_fully_addressable:
+        return float(np.asarray(v.addressable_shards[0].data))
+    return float(v)

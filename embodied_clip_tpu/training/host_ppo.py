@@ -24,17 +24,33 @@ from embodied_clip_tpu.training.ppo import Rollout, compute_gae, ppo_loss
 __all__ = ["HostPPOLearner"]
 
 
+def _mesh_mod():
+    from embodied_clip_tpu.parallel import mesh as mesh_mod
+
+    return mesh_mod
+
+
 class HostPPOLearner:
     def __init__(self, venv, policy, cfg: DDPPOConfig,
                  encode_fn: Optional[Callable] = None,
-                 goal_map_fn: Optional[Callable] = None, mesh=None):
+                 goal_map_fn: Optional[Callable] = None, mesh=None,
+                 env_id_offset: int = 0):
         """`venv` may be a single VectorEnv or a list of pools; with several, the
         collector double-buffers — device act steps for one group overlap the
-        other groups' simulator steps (BASELINE.md pipeline north star)."""
+        other groups' simulator steps (BASELINE.md pipeline north star).
+
+        Multi-process DD-PPO (the reference's N-learner-processes deployment,
+        baselines_habitat.md:63-69): pass the GLOBAL mesh (spanning all
+        processes' devices) plus this process's env_id_offset. Each process
+        collects rollouts from its own pool; host-local rollouts are converted
+        to one global dp-sharded batch and the single jitted update runs SPMD
+        across all processes — XLA's gradient psum rides ICI/DCN."""
         self.policy = policy
         self.cfg = cfg
         self.mesh = mesh
-        self.collector = HostRolloutCollector(venv, policy, encode_fn, goal_map_fn)
+        self.multiprocess = mesh is not None and _mesh_mod().is_multiprocess(mesh)
+        self.collector = HostRolloutCollector(venv, policy, encode_fn, goal_map_fn,
+                                              env_id_offset=env_id_offset)
         self.venv = self.collector.venv
         self.num_envs = self.collector.num_envs
         if cfg.ppo.lr_decay_updates > 0:
@@ -88,8 +104,13 @@ class HostPPOLearner:
 
         timer = self.collector.timer
         t_start = time.perf_counter()
+        # The act step is process-local (this process's envs on this process's
+        # device); with a multi-process mesh the globally-replicated params are
+        # consumed through their local shard — zero-copy.
+        act_params = (_mesh_mod().local_view(params) if self.multiprocess
+                      else params)
         rollout, last_value, env_metrics = self.collector.collect(
-            params, self.cfg.rollout_len
+            act_params, self.cfg.rollout_len
         )
         if self.mesh is not None:
             from embodied_clip_tpu.parallel.mesh import shard_time_major
@@ -100,10 +121,13 @@ class HostPPOLearner:
             params, opt_state, loss_metrics = self._update(
                 params, opt_state, rollout, last_value
             )
-            loss_metrics = {k: float(v) for k, v in loss_metrics.items()}  # block
+            hs = _mesh_mod().host_scalar
+            loss_metrics = {k: hs(v) for k, v in loss_metrics.items()}  # block
         metrics = dict(env_metrics)
         metrics.update(loss_metrics)
-        steps = float(self.cfg.rollout_len * self.num_envs)
+        # env_steps counts GLOBAL progress (all processes' envs advance together).
+        world = jax.process_count() if self.multiprocess else 1
+        steps = float(self.cfg.rollout_len * self.num_envs * world)
         metrics["env_steps"] = steps
         # Per-stage timing as first-class trainer metrics (SURVEY.md §5):
         # act/env_step/update seconds + fractions, and end-to-end env-steps/s.

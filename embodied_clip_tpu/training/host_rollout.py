@@ -40,12 +40,25 @@ __all__ = ["HostRolloutCollector"]
 
 class HostRolloutCollector:
     def __init__(self, venv, policy, encode_fn: Optional[Callable] = None,
-                 goal_map_fn: Optional[Callable] = None):
+                 goal_map_fn: Optional[Callable] = None,
+                 env_id_offset: int = 0):
+        """env_id_offset: this process's first GLOBAL env index (multi-process
+        DD-PPO gives process p offset p·B_local). Action sampling folds the
+        global env id into the per-step key, so trajectories are a function of
+        (seed, global env id) — independent of how envs are split across
+        processes or pipeline groups: N processes × B/N envs collect exactly
+        what one process × B envs would."""
         self.venvs = list(venv) if isinstance(venv, (list, tuple)) else [venv]
         self.venv = self.venvs[0]
         self.policy = policy
         self.encode_fn = encode_fn
         self.goal_map_fn = goal_map_fn
+        # Per-group global env-id ranges (group order = batch order).
+        starts = np.cumsum([0] + [v.n for v in self.venvs])
+        self._env_ids = [
+            jnp.arange(env_id_offset + a, env_id_offset + b)
+            for a, b in zip(starts[:-1], starts[1:])
+        ]
         self._act_step = jax.jit(self._act_step_impl)
         self._g: Optional[List[Dict]] = None  # per-group mutable state
         # Per-stage wall-time accounting (SURVEY.md §5 tracing row): "act" =
@@ -97,10 +110,13 @@ class HostRolloutCollector:
         o["prev_action"] = prev_action
         return o
 
-    def _act_step_impl(self, params, obs, h, is_start, key):
+    def _act_step_impl(self, params, obs, h, is_start, key, env_ids):
         logits, value, h = self.policy.apply({"params": params}, obs, h, is_start)
         key, k = jax.random.split(key)
-        action = jax.random.categorical(k, logits).astype(jnp.int32)
+        # Per-env keys from the GLOBAL env id: the sampled action for env i is
+        # independent of which process/group/batch-slot holds it.
+        keys = jax.vmap(lambda i: jax.random.fold_in(k, i))(env_ids)
+        action = jax.vmap(jax.random.categorical)(keys, logits).astype(jnp.int32)
         logp = jnp.take_along_axis(jax.nn.log_softmax(logits, -1),
                                    action[:, None], 1)[:, 0]
         return action, logp, value, h, key
@@ -131,7 +147,8 @@ class HostRolloutCollector:
         with self.timer.stage("act"):
             obs_dev = self._policy_obs(st["obs"], st["prev_action"])
             action, logp, value, st["h"], self._key = self._act_step(
-                params, obs_dev, st["h"], st["is_start"], self._key
+                params, obs_dev, st["h"], st["is_start"], self._key,
+                self._env_ids[g]
             )
             action_np = np.asarray(action)  # blocks on the device act step
         self.venvs[g].step_async(action_np)
@@ -214,7 +231,8 @@ class HostRolloutCollector:
             st = self._g[g]
             obs_dev = self._policy_obs(st["obs"], st["prev_action"])
             _, _, v, _, _ = self._act_step(
-                params, obs_dev, st["h"], st["is_start"], self._key
+                params, obs_dev, st["h"], st["is_start"], self._key,
+                self._env_ids[g]
             )
             last_values.append(v)
         metrics = {
@@ -249,7 +267,8 @@ class HostRolloutCollector:
             with self.timer.stage("act"):
                 obs_dev = self._policy_obs(st["obs"], st["prev_action"])
                 action, _, _, st["h"], self._key = self._act_step(
-                    params, obs_dev, st["h"], st["is_start"], self._key
+                    params, obs_dev, st["h"], st["is_start"], self._key,
+                    self._env_ids[0]
                 )
                 action_host = np.asarray(action)  # blocks on the act step
             take_expert = rng.rand(self.venv.n) < beta

@@ -39,18 +39,36 @@ def restore_pytree(path: str, target: Optional[Any] = None) -> Any:
         ckptr.close()
 
 
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        elif hasattr(p, "name"):
+            parts.append(str(p.name))
+        else:  # pragma: no cover - future key kinds
+            parts.append(str(p))
+    return "/".join(parts)
+
+
 def restore_params(path: str, params_template: Any) -> Any:
     """Restore ONLY policy/model params from a checkpoint of either layout:
     a bare params tree, or a full train state ({"params", "opt_state", ...} —
     the step-stamped RL checkpoints). This is what makes fake-trained
     checkpoints loadable by thor/habitat-backend learners (`--ckpt`): the
     action spaces match (envs/gridworld.py ACTIONS == envs/thor.py
-    OBJECTNAV_ACTIONS), so only the params subtree transfers."""
+    OBJECTNAV_ACTIONS), so only the params subtree transfers.
+
+    Structure checks are key-path-aware: two architectures with
+    coincidentally equal flat shape lists cannot silently cross-load — the
+    first divergent key path is named in the error."""
     raw = restore_pytree(path)
     if isinstance(raw, dict) and "params" in raw:
         raw = raw["params"]
-    flat_t, treedef = jax.tree.flatten(params_template)
-    flat_r = jax.tree.leaves(raw)
+    flat_t, treedef = jax.tree_util.tree_flatten_with_path(params_template)
+    flat_r = jax.tree_util.tree_flatten_with_path(raw)[0]
     if len(flat_t) != len(flat_r):
         raise ValueError(
             f"checkpoint param tree has {len(flat_r)} leaves, expected "
@@ -58,12 +76,17 @@ def restore_params(path: str, params_template: Any) -> Any:
     import jax.numpy as jnp
 
     out = []
-    for t, v in zip(flat_t, flat_r):
+    for (pt, t), (pr, v) in zip(flat_t, flat_r):
+        st, sr = _path_str(pt), _path_str(pr)
+        if st != sr:
+            raise ValueError(
+                f"checkpoint param tree diverges at '{sr}' (expected '{st}') "
+                "— incompatible policy architecture")
         v = jnp.asarray(v)
         if v.shape != t.shape:
             raise ValueError(
-                f"checkpoint leaf shape {v.shape} != expected {t.shape} — "
-                "incompatible policy architecture")
+                f"checkpoint leaf '{st}' shape {v.shape} != expected "
+                f"{t.shape} — incompatible policy architecture")
         out.append(v.astype(t.dtype))
     return jax.tree.unflatten(treedef, out)
 

@@ -3,6 +3,7 @@
 STATUS.md perf notes (XLA is already at the HBM roofline per block on v5e)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -264,6 +265,7 @@ def test_fused_resblocks_int8_matches_xla_int8_graph():
     np.testing.assert_array_equal(got, want16)
 
 
+@pytest.mark.slow
 def test_quantized_trunk_pallas_resblocks_integration():
     """quantized_trunk_apply(pallas_resblocks=True) routes qualifying identity
     runs through the fused kernel and stays bit-exact vs the XLA path end to

@@ -12,6 +12,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 _WORKER = r"""
 import jax, jax.numpy as jnp
 import numpy as np

@@ -12,6 +12,9 @@ These tests use the smoke-scale clip_rn_tiny config (full ModifiedResNet code pa
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 from embodied_clip_tpu.config.experiments import get_experiment
 from embodied_clip_tpu.envs.gridworld import GridNavEnv

@@ -1,6 +1,7 @@
 """FrozenEncoder: fused uint8→features graph — key schema, shapes, determinism."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -16,6 +17,7 @@ def test_imagenet_rn18_encoder():
     assert out["imagenet_avgpool"].shape == (2, 512)
 
 
+@pytest.mark.slow
 def test_clip_rn50_encoder():
     enc = build_encoder("clip_rn50")
     frames = np.random.RandomState(1).randint(0, 256, (2, 300, 300, 3), np.uint8)

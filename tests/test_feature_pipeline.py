@@ -4,6 +4,7 @@ it, and a probe trains — with a stub encoder standing in for CLIP (the real en
 are covered by test_encoders.py / parity tests)."""
 
 import numpy as np
+import pytest
 
 from embodied_clip_tpu.data.feature_store import FeatureStoreWriter
 from embodied_clip_tpu.data.probing import ProbeDataModule
@@ -65,6 +66,7 @@ def test_feature_store_to_probe_training(tmp_path):
     assert np.isfinite(m["loss"])
 
 
+@pytest.mark.slow
 def test_extract_thor_features_from_scene_files(tmp_path):
     """The extract-features CLI path: reference-format per-scene .npy files
     (thor_frames.py output schema) → thor_{split}.npz stores (real RN18 encoder)."""
@@ -101,6 +103,7 @@ def test_extract_thor_features_from_scene_files(tmp_path):
         assert list(z["scene"]) == ["FloorPlan1"] * 3
 
 
+@pytest.mark.slow
 def test_extract_thor_features_int8(tmp_path):
     """dtype='int8' serves CLIP ResNets through the PTQ trunk (calibrated on the
     split's own frames); store contents stay finite and well-shaped."""

@@ -1,12 +1,14 @@
 """BN folding: the folded inference graph must match the unfolded one exactly (f32)."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
 from embodied_clip_tpu.models.encoders import build_encoder
 
 
+@pytest.mark.slow
 def test_folded_encoder_matches_unfolded():
     enc = build_encoder("imagenet_rn18")
     # Randomize BN statistics so folding is non-trivial.
@@ -32,6 +34,7 @@ def test_folded_encoder_matches_unfolded():
         assert np.abs(ref - got).max() / denom < 2e-5, key_
 
 
+@pytest.mark.slow
 def test_folded_clip_visual_runs():
     enc = build_encoder("clip_rn50").fold_bn()
     frames = np.random.RandomState(1).randint(0, 256, (1, 224, 224, 3), np.uint8)

@@ -310,6 +310,7 @@ def test_hostgrid_backend_experiment_trains(tmp_path):
     assert glob.glob(str(tmp_path / "hostgrid_smoke" / "exp__steps_*"))
 
 
+@pytest.mark.slow
 def test_experiment_resume_from_latest(tmp_path):
     """Resume-on-restart: a second train() continues from the saved env-step count."""
     from embodied_clip_tpu.config.rl_experiments import NavRLExperiment
@@ -327,6 +328,7 @@ def test_experiment_resume_from_latest(tmp_path):
     assert out2["env_steps"] >= 256
 
 
+@pytest.mark.slow
 def test_resume_bitwise_matches_uninterrupted(tmp_path):
     """Checkpoints hold the FULL train state — params, optimizer state (Adam
     moments + step count) and the act carry (env state, obs, hidden, PRNG key) —

@@ -12,6 +12,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from embodied_clip_tpu.config.experiments import get_experiment
 from fake_thor import FakeController
@@ -42,6 +43,7 @@ def _train_tiny(tmp_path):
     return exp, ckpts[-1]
 
 
+@pytest.mark.slow
 def test_thor_backend_eval_runs_on_simulator(tmp_path, monkeypatch):
     exp, ckpt = _train_tiny(tmp_path)
     sentinel = str(tmp_path / "sentinel.txt")
@@ -107,6 +109,7 @@ def test_scratch_config_ckpt_transfers_to_host_eval(tmp_path):
     assert 0.0 <= out["success"] <= 1.0
 
 
+@pytest.mark.slow
 def test_zeroshot_host_training_maps_goals(tmp_path):
     """Zeroshot host-backend training: the collector maps integer goals through
     the frozen CLIP text-goal table before the text_embed policy consumes them

@@ -13,6 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from embodied_clip_tpu.envs.gridworld import GridNavEnv
 from embodied_clip_tpu.models.policy import ActorCritic
 from embodied_clip_tpu.parallel.mesh import make_mesh, replicate, shard_time_major

@@ -141,6 +141,7 @@ def test_frozen_encoder_stop_gradient():
     assert float(total) == 0.0
 
 
+@pytest.mark.slow
 def test_torch_checkpoint_file_roundtrip(tmp_path):
     """A torch .pth state_dict on disk loads through build_encoder(torch_checkpoint=...)
     and reproduces the torch oracle's features (full RN18, file-based path)."""

@@ -53,6 +53,7 @@ def test_quantized_encode_deterministic(encs):
 
 
 
+@pytest.mark.slow
 def test_quantized_imagenet_resnet_close_to_f32():
     """int8 torchvision-family trunk (basic blocks, stride-2 convs, int8-grid
     stem maxpool) stays within the 1e-3 cosine budget vs the f32 path."""

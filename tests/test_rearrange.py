@@ -2,6 +2,7 @@
 (the iTHOR Rearrangement suite's hermetic analogue, baselines_ithor_rearrangement.md)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +51,7 @@ def test_rearrange_pickup_drop_semantics():
     assert not bool(state.holding.any())  # fresh episodes
 
 
+@pytest.mark.slow
 def test_rearrange_dagger_learns():
     env = GridRearrangeEnv(size=5, max_steps=48, flat_obs=True)
     policy = ActorCritic(num_actions=env.num_actions, goal_kind="none",

@@ -11,6 +11,8 @@ import dataclasses as dc
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from embodied_clip_tpu.config import rl_experiments  # noqa: F401  (registers)
 from embodied_clip_tpu.config.experiments import _REGISTRY, get_experiment
 
@@ -33,6 +35,8 @@ def test_registered_experiment_trains(name, tmp_path):
     out = exp.train(output_dir=str(tmp_path))
     assert out["env_steps"] >= 64, (name, out)
     assert np.isfinite(out["loss"]), (name, out)
+    # throughput is a logged trainer metric on BOTH backends (VERDICT r3 #4)
+    assert out.get("env_steps_per_s", 0) > 0, (name, out)
 
 
 PROBE_NAMES = sorted(n for n in _REGISTRY if n.startswith("probe_"))

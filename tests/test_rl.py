@@ -72,6 +72,7 @@ def test_gae_matches_manual():
     np.testing.assert_allclose(np.asarray(ret), np.asarray(adv + values), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_ddppo_learns_gridworld():
     # flat_obs + Dense-front policy: XLA:CPU conv backward is orders-of-magnitude
     # slower than TPU's; the conv-compressor path is covered by the compile test below.

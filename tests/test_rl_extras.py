@@ -167,6 +167,7 @@ def test_rgbd_scratch_policy_runs():
     assert logits.shape == (2, 4)
 
 
+@pytest.mark.slow
 def test_zeroshot_e2e_seen_unseen_generalization():
     """Train with frozen text-embedding goals on SEEN classes only, then evaluate on
     UNSEEN classes (the reference zero-shot recipe, zeroshot_objectnav.md:17-32).
@@ -368,6 +369,7 @@ def test_minibatches_cover_every_env_with_indivisible_batch():
     np.testing.assert_array_equal(cols, roll.actions)
 
 
+@pytest.mark.slow
 def test_fake_trained_checkpoint_transfers_to_thor_backend_policy(tmp_path):
     """Fake and THOR ObjectNav now share the 6-action space (VERDICT r2 next #3):
     a checkpoint trained on the hermetic backend must restore into the policy a
@@ -414,6 +416,7 @@ def test_fake_trained_checkpoint_transfers_to_thor_backend_policy(tmp_path):
                  restored, saved["params"])
 
 
+@pytest.mark.slow
 def test_rgbd_with_frozen_encoder_consumes_depth(tmp_path):
     """rgbd × frozen encoder (VERDICT r2 next #4): depth must reach the policy —
     changing it changes the output — and the registered configs must train."""
@@ -445,3 +448,75 @@ def test_rgbd_with_frozen_encoder_consumes_depth(tmp_path):
                           encoder_dtype="float32", ckpt_every_steps=10_000)
         out = exp.train(output_dir=str(tmp_path / name))
         assert out["env_steps"] >= 32 and np.isfinite(out["loss"]), name
+
+
+@pytest.mark.slow
+def test_vit_encoder_routes_flat_policy(tmp_path):
+    """VERDICT r3 weak #3: `--override encoder=clip_vit_*` must work rather
+    than KeyError inside jit — ViT encoders emit only `clip_embed`, which
+    routes through the flat-visual policy path (visual_is_map=False)."""
+    import dataclasses as _dc
+
+    from embodied_clip_tpu.config.experiments import get_experiment
+
+    exp = get_experiment("objectnav_robothor_rgb_clipresnet50gru_ddppo")
+    exp = _dc.replace(exp, total_env_steps=32, rollout_len=4, env_batch=8,
+                      hidden=32, encoder="clip_vit_tiny",
+                      encoder_dtype="float32", ckpt_every_steps=10_000)
+    assert not exp._encoder_emits_map()
+    pol = exp._make_policy(6, frame_obs=True)
+    assert pol.visual_is_map is False and pol.scratch_cnn is False
+    # the encode fn emits the flat embed, shaped for visual_fc
+    vis = exp._encode_fn()(np.zeros((2, 64, 64, 3), np.uint8))
+    assert vis.ndim == 2
+    out = exp.train(output_dir=str(tmp_path))
+    assert out["env_steps"] >= 32 and np.isfinite(out["loss"])
+
+
+def test_vit_encoder_rejects_rgbd_at_config_time():
+    """rgbd needs a conv-map encoder (depth pools to the map grid): ViT +
+    rgbd must fail with a clear message at policy-construction time, never a
+    jit-time KeyError."""
+    import dataclasses as _dc
+
+    from embodied_clip_tpu.config.experiments import get_experiment
+
+    exp = get_experiment("ddppo_objectnav_rgbd_clip")
+    exp = _dc.replace(exp, encoder="clip_vit_tiny")
+    with pytest.raises(ValueError, match="flat embed"):
+        exp._make_policy(6, frame_obs=True)
+
+
+def test_unknown_encoder_fails_at_config_time():
+    import dataclasses as _dc
+
+    from embodied_clip_tpu.config.experiments import get_experiment
+
+    exp = get_experiment("objectnav_robothor_rgb_clipresnet50gru_ddppo")
+    exp = _dc.replace(exp, encoder="clip_rn999")
+    with pytest.raises(ValueError, match="unknown encoder"):
+        exp._make_policy(6, frame_obs=True)
+
+
+def test_restore_params_checks_key_paths(tmp_path):
+    """VERDICT r3 weak #5: restore_params must compare flattened KEY PATHS,
+    not just leaf order + shapes — two architectures with coincidentally equal
+    flat shape lists must not silently cross-load."""
+    from embodied_clip_tpu.utils.checkpoint import restore_params, save_pytree
+
+    saved = {"params": {"actor": {"kernel": np.ones((3, 2), np.float32)},
+                        "critic": {"kernel": np.zeros((4,), np.float32)}}}
+    path = str(tmp_path / "ckpt")
+    save_pytree(path, saved)
+
+    # same shapes, different module names -> must raise, naming the path
+    template = {"actor2": {"kernel": np.zeros((3, 2), np.float32)},
+                "critic": {"kernel": np.zeros((4,), np.float32)}}
+    with pytest.raises(ValueError, match="actor"):
+        restore_params(path, template)
+
+    # matching structure restores fine
+    good = {"actor": {"kernel": np.zeros((3, 2), np.float32)},
+            "critic": {"kernel": np.zeros((4,), np.float32)}}
+    out = restore_params(path, good)
+    np.testing.assert_array_equal(out["actor"]["kernel"], np.ones((3, 2)))

@@ -5,6 +5,7 @@ a tiny fraction of elements may flip by one s8 step at requant ties — the same
 contract as the fused stage-1 kernel."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +44,34 @@ def test_stem3_kernel_matches_xla_stem():
         assert (diff != 0).mean() <= 0.005, (diff != 0).mean()
 
 
+def test_stem3_kernel_multi_chunk_rows():
+    """Force rc < h so the r0 loop, chunked pad slicing, and out_ref row-slice
+    writes run in CI (ADVICE r3: the auto-sized rc covers these shapes in one
+    chunk, leaving the multi-chunk path untested)."""
+    from embodied_clip_tpu.ops.pallas.stem_kernel import stem3_requant_pool_int8
+
+    rng = np.random.RandomState(1)
+    n, h, w, cin, cout = 2, 16, 16, 32, 64
+    x = jnp.asarray(np.abs(rng.randn(n, h, w, cin)).astype(np.float32) * 0.5,
+                    jnp.bfloat16)
+    kernel = rng.randn(3, 3, cin, cout).astype(np.float32) * 0.1
+    bias = rng.randn(cout).astype(np.float32) * 0.05
+    scale = jnp.float32(2.3 / 127)
+
+    want = np.asarray(jax.jit(
+        lambda t: _xla_ref(t, kernel, bias, scale))(x)).astype(np.int32)
+    one_chunk = np.asarray(stem3_requant_pool_int8(
+        x, kernel, bias, scale, interpret=True)).astype(np.int32)
+    for rc in (2, 4, 8):
+        got = np.asarray(stem3_requant_pool_int8(
+            x, kernel, bias, scale, interpret=True, row_chunk=rc)
+        ).astype(np.int32)
+        # chunking changes only the loop structure, not the math
+        np.testing.assert_array_equal(got, one_chunk)
+        assert np.abs(got - want).max() <= 1
+
+
+@pytest.mark.slow
 def test_quantized_trunk_pallas_stem_integration():
     """quantized_trunk_apply(pallas_stem=True) routes the stem through the
     kernel and stays within the tie contract vs the XLA path end to end."""

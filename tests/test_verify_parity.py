@@ -43,6 +43,7 @@ def test_cosine_distance_basics():
     ("imagenet_rn18",
      lambda: O.TVResNetTrunk((2, 2, 2, 2), block="basic")),
 ])
+@pytest.mark.slow
 def test_verify_parity_full_size_oracle(tmp_path, encoder, builder):
     torch.manual_seed(7)
     model = builder()
@@ -63,6 +64,7 @@ def test_verify_parity_full_size_oracle(tmp_path, encoder, builder):
     assert set(result["per_key_cosine_distance"]) == expected
 
 
+@pytest.mark.slow
 def test_verify_parity_int8_runs_quantized_graph(tmp_path):
     # --dtype int8 must certify the actual serving graph (fold_bn + PTQ
     # calibrated on the capture frames), not silently re-validate f32

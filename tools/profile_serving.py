@@ -36,6 +36,16 @@ def main():
     stage_sizes = enc.stage_sizes
     pre = enc.preprocess
 
+    # The same env-derived kernel flags _encode_impl reads (models/encoders.py):
+    # every prefix must run the SAME graph configuration as the full encode,
+    # or the full+heads delta silently absorbs each stage's kernel-vs-XLA
+    # difference and per-stage attribution is corrupted (ADVICE r3).
+    flags = dict(
+        pallas_stage1=os.environ.get("ECT_PALLAS_STAGE1", "0") == "1",
+        pallas_resblocks=os.environ.get("ECT_PALLAS_RESBLOCKS", "0") == "1",
+        pallas_stem=os.environ.get("ECT_PALLAS_STEM", "0") == "1",
+    )
+
     def stem_only(qq, frames):
         x = pre(frames)
 
@@ -50,13 +60,22 @@ def main():
 
         t = fp_conv("stem1", x, 2)
         t = fp_conv("stem2", t)
+        if flags["pallas_stem"]:
+            from embodied_clip_tpu.ops.pallas.stem_kernel import (
+                stem3_requant_pool_int8,
+            )
+
+            sub = qq["fp"]["stem3"]["conv"]
+            return stem3_requant_pool_int8(
+                t.astype(jnp.bfloat16), sub["kernel"], sub["bias"],
+                qq["act_scales"]["stem.out"])
         t = fp_conv("stem3", t, relu=False)
         return qz._avg_pool_int8(qz._requant(t, qq["act_scales"]["stem.out"]), 2)
 
     def make_prefix(k):
         def f(qq, frames):
             x = pre(frames)
-            return qz.quantized_trunk_apply(qq, x, stage_sizes[:k])
+            return qz.quantized_trunk_apply(qq, x, stage_sizes[:k], **flags)
         return f
 
     prefixes = [("preprocess", lambda qq, frames: pre(frames)),
@@ -100,7 +119,8 @@ def main():
         print(f"{name:12s} cum {ms:7.3f} ms   delta {ms - prev:7.3f} ms",
               flush=True)
         prev = ms
-    print(json.dumps({n: round(d, 3) for n, d, _ in results}))
+    print(json.dumps({n: {"cum_ms": round(c, 3), "delta_ms": round(d, 3)}
+                      for n, c, d in results}))
 
 
 if __name__ == "__main__":

@@ -282,6 +282,21 @@ class _QuantizedCLIPEncoder(FrozenEncoder):
 
         return os.environ.get("ECT_PALLAS_RESBLOCKS", "0") == "1"
 
+    @staticmethod
+    def _use_int8_stem() -> str:
+        """ECT_INT8_STEM selects the stem quantization variant: "off" (bf16
+        stem — default), "stem3" (stem3 only as an s8×s8→s32 conv), "full"
+        (stem2+stem3 s8, stem1 bf16 with an s8-writing epilogue). "full"
+        measured SLOWER than the bf16 stem on v5e (13,754 vs 14,393 frames/s
+        at batch 128 — STATUS.md round-4 negative results): XLA's int8 conv
+        emitter at C_in∈{32} loses more on dot rate than the s8 tensors save
+        on HBM. Variants kept with the numbers recorded so the path isn't
+        re-walked."""
+        import os
+
+        v = os.environ.get("ECT_INT8_STEM", "off")
+        return {"0": "off", "1": "full"}.get(v, v)
+
     def _encode_impl(self, variables, frames):
         from embodied_clip_tpu.ops.quantize import quantized_trunk_apply
 
@@ -290,7 +305,8 @@ class _QuantizedCLIPEncoder(FrozenEncoder):
                                      out_dtype=self.dtype,
                                      pallas_stage1=self._use_pallas_stage1(),
                                      pallas_resblocks=self._use_pallas_resblocks(),
-                                     pallas_stem=self._use_pallas_stem())
+                                     pallas_stem=self._use_pallas_stem(),
+                                     int8_stem=self._use_int8_stem())
         avg = jnp.mean(conv.astype(jnp.float32), axis=(1, 2)).astype(conv.dtype)
         embed = self._attnpool.apply({"params": variables["attnpool"]}, conv)
         out = {"clip_conv": conv, "clip_avgpool": avg, "clip_attnpool": embed}

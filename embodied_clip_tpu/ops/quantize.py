@@ -137,7 +137,12 @@ def calibrate_trunk(folded_trunk_params: Dict[str, Any], stage_sizes: Sequence[i
         return nn.relu(out) if relu else out
 
     t = cb("stem1", x, 2)
+    # Post-relu maxes for the int8-stem variant (stem2/stem3 as s8 convs):
+    # recorded unconditionally — cheap, and quantize_trunk always packs the
+    # s8 stem kernels so the runtime int8_stem switch needs no recalibration.
+    record("stem1.out", t)
     t = cb("stem2", t)
+    record("stem2.out", t)
     t = cb("stem3", t)
     # Recorded PRE-pool: the int8 graph requants in stem3's conv epilogue and
     # mean-pools on the int8 grid (_avg_pool_int8) — halves the stem-pool HBM
@@ -187,6 +192,13 @@ def quantize_trunk(folded_trunk_params: Dict[str, Any], stage_sizes: Sequence[in
     p = folded_trunk_params
     for name in ("stem1", "stem2", "stem3"):
         q["fp"][name] = p[name]
+    # s8 kernels for the int8-stem variant (stem1 stays bf16 — its input is
+    # the normalized image, 3 channels, already traffic-light). The fp copies
+    # above remain the default path's operands.
+    for name in ("stem2", "stem3"):
+        sub = p[name]["conv"]
+        q[name] = dict(_quantize_kernel(sub["kernel"]),
+                       bias=jnp.asarray(sub["bias"], jnp.float32))
     for name, stride in _block_names(stage_sizes):
         for cbname in ("cb1", "cb2", "cb3"):
             sub = p[name][cbname]["conv"]
@@ -298,7 +310,8 @@ def _resblocks_batch_tile(shape) -> int:
 def quantized_trunk_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
                           out_dtype=jnp.bfloat16, pallas_stage1: bool = False,
                           pallas_resblocks: bool = False,
-                          pallas_stem: bool = False):
+                          pallas_stem: bool = False,
+                          int8_stem: str = "off"):
     """int8 trunk forward: x is the preprocessed image batch (f32/bf16 NHWC).
     Returns the conv feature map in out_dtype. pallas_stage1 runs stage 1
     through the fused int8 Pallas kernel (not a win on this runtime — see
@@ -339,10 +352,39 @@ def quantized_trunk_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
             out = _conv(t8, k, pet=jnp.int32)
         return out.astype(jnp.float32) * (in_scale * sub["w_scale"]) + sub["bias"]
 
-    t = fp_conv("stem1", x, 2)
-    t = fp_conv("stem2", t)
     s_in = a["stem.out"]
-    if pallas_stem and t.shape[1] % 2 == 0 and t.shape[2] % 2 == 0:
+    if int8_stem == "full" and "stem2" in q:
+        # int8 stem variant: stem1 stays a bf16 conv (3-channel input) but its
+        # epilogue writes s8 (relu folds into _requant's clip-at-0), and
+        # stem2/stem3 run as s8×s8→s32 convs with requant epilogues — the stem
+        # chain's HBM traffic drops ~40% (the bf16 stem is traffic-bound at
+        # ~85% of the elementwise ceiling; STATUS.md round-4 profile) and
+        # stem3's C_in=32 MXU cap halves at the int8 rate.
+        t = fp_conv("stem1", x, 2, relu=False)
+        s1 = a["stem1.out"]
+        t8s = _requant(t, s1)
+        s2 = a["stem2.out"]
+        t8s = _requant(qconv(q["stem2"], t8s, s1), s2)
+        t8 = _avg_pool_int8(_requant(qconv(q["stem3"], t8s, s2), s_in), 2)
+        t = None
+    elif int8_stem == "stem3" and "stem3" in q:
+        # stem3-only int8: stem1/stem2 stay bf16 (their tiny channel counts
+        # lose at the int8 conv rate — the "full" variant measured −640 f/s,
+        # STATUS.md), but stem3 (C_in=32→64, the stem's 0.99 ms / 36%-MXU
+        # fusion) runs s8×s8→s32 with the requant in its epilogue; its input
+        # read also halves (bf16→s8).
+        t = fp_conv("stem1", x, 2)
+        t = fp_conv("stem2", t)
+        s2 = a["stem2.out"]
+        t8s = _requant(t, s2)
+        t8 = _avg_pool_int8(_requant(qconv(q["stem3"], t8s, s2), s_in), 2)
+        t = None
+    else:
+        t = fp_conv("stem1", x, 2)
+        t = fp_conv("stem2", t)
+    if t is None:
+        pass
+    elif pallas_stem and t.shape[1] % 2 == 0 and t.shape[2] % 2 == 0:
         from embodied_clip_tpu.ops.pallas.stem_kernel import (
             stem3_requant_pool_int8,
         )

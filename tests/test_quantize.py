@@ -68,3 +68,18 @@ def test_quantized_imagenet_resnet_close_to_f32():
         d = cosine_distance(np.asarray(ref[k], np.float32),
                             np.asarray(out[k], np.float32))
         assert d < 1e-3, (k, d)
+
+def test_int8_stem_variants_close_to_f32(encs, monkeypatch):
+    """Flag-gated int8-stem variants (ECT_INT8_STEM=stem3|full) stay inside the
+    1e-3 cosine budget. Both measured SLOWER than the bf16 stem on v5e
+    (STATUS.md round-4 negative results) and default off; this pins their
+    numerics so the recorded measurements stay reproducible."""
+    enc, qenc, frames = encs
+    ref = enc.encode(frames)
+    for variant in ("stem3", "full"):
+        monkeypatch.setenv("ECT_INT8_STEM", variant)
+        out = qenc.encode(frames)
+        for k in ref:
+            d = cosine_distance(np.asarray(ref[k], np.float32),
+                                np.asarray(out[k], np.float32))
+            assert d < 1e-3, (variant, k, d)

@@ -52,6 +52,23 @@ ENCODER_SPECS = {
 }
 
 
+def _xla_serving_options() -> Optional[Dict[str, str]]:
+    """Per-compile XLA options for the serving graph (jit compiler_options).
+
+    XLA_FLAGS is rejected by the axon tunnel's compile client, but the
+    per-compile options API passes through (measured round 4) — this is the
+    only route to XLA scheduling/fusion knobs on this runtime. Set
+    ECT_XLA_OPTS="key=value,key=value" to experiment; empty/unset compiles
+    with XLA defaults. Only applied on TPU (CPU tests keep default options
+    and maximal cache reuse)."""
+    import os
+
+    raw = os.environ.get("ECT_XLA_OPTS", "")
+    if not raw or jax.default_backend() != "tpu":
+        return None
+    return dict(kv.split("=", 1) for kv in raw.split(",") if "=" in kv)
+
+
 def _row_major_format(ndim: int):
     """A jit in_shardings entry pinning a parameter to the default row-major
     tiled layout on the local device, or None where the layout API/backend
@@ -88,7 +105,8 @@ class FrozenEncoder:
             # quantize). f32 encoders keep the full-precision XLA path.
             self.preprocess = dataclasses.replace(self.preprocess,
                                                   use_pallas=True)
-        self._encode = jax.jit(self._encode_impl)
+        self._encode = jax.jit(self._encode_impl,
+                               compiler_options=_xla_serving_options())
         self._encode_flat = None  # built lazily (needs a concrete device)
 
     # -- pure function (jit target) ------------------------------------------------
@@ -140,7 +158,8 @@ class FrozenEncoder:
         if self._encode_flat is None:
             fmt = _row_major_format(3)
             self._encode_flat = (jax.jit(self._encode_impl,
-                                         in_shardings=(None, fmt))
+                                         in_shardings=(None, fmt),
+                                         compiler_options=_xla_serving_options())
                                  if fmt is not None else self._encode)
         return self._encode_flat
 
@@ -283,6 +302,21 @@ class _QuantizedCLIPEncoder(FrozenEncoder):
         return os.environ.get("ECT_PALLAS_RESBLOCKS", "0") == "1"
 
     @staticmethod
+    def _use_fuse_pointwise() -> int:
+        """ECT_FUSE_POINTWISE routes block-boundary cb3/cb1 pointwise pairs
+        through the cross-block Pallas kernel
+        (ops/pallas/bottleneck_kernel.fused_cb3_cb1_int8): 0 = off (default),
+        1 = every pair, N > 1 = only pairs whose block output width >= N.
+        Measured NEGATIVE in-graph (STATUS.md round-4 log): the lone isolated
+        win (stage-4 pairs, 0.139 ms vs XLA's 0.193) inverts to 12,810 vs
+        14,488 frames/s end-to-end — XLA pads the 7x7 int8 tiles to 32
+        sublanes at the pallas boundary. Kept flag-gated with a bit-exactness
+        test so the path isn't re-walked."""
+        import os
+
+        return int(os.environ.get("ECT_FUSE_POINTWISE", "0"))
+
+    @staticmethod
     def _use_int8_stem() -> str:
         """ECT_INT8_STEM selects the stem quantization variant: "off" (bf16
         stem — default), "stem3" (stem3 only as an s8×s8→s32 conv), "full"
@@ -306,7 +340,8 @@ class _QuantizedCLIPEncoder(FrozenEncoder):
                                      pallas_stage1=self._use_pallas_stage1(),
                                      pallas_resblocks=self._use_pallas_resblocks(),
                                      pallas_stem=self._use_pallas_stem(),
-                                     int8_stem=self._use_int8_stem())
+                                     int8_stem=self._use_int8_stem(),
+                                     fuse_pointwise=self._use_fuse_pointwise())
         avg = jnp.mean(conv.astype(jnp.float32), axis=(1, 2)).astype(conv.dtype)
         embed = self._attnpool.apply({"params": variables["attnpool"]}, conv)
         out = {"clip_conv": conv, "clip_avgpool": avg, "clip_attnpool": embed}

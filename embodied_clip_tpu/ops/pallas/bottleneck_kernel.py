@@ -25,7 +25,19 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["fused_bottleneck", "fused_stage1", "fused_stage1_int8",
-           "fused_resblocks_int8", "supports_fused_bottleneck"]
+           "fused_resblocks_int8", "fused_cb3_cb1_int8",
+           "supports_fused_bottleneck"]
+
+
+def _unscale(x, s):
+    """Mirrors ops/quantize._unscale (same ECT_RECIP_REQUANT contract,
+    default divide) so kernels stay bit-exact vs the XLA int8 graph under
+    either setting."""
+    import os
+
+    if os.environ.get("ECT_RECIP_REQUANT", "0") == "1":
+        return x * (jnp.float32(1.0) / s)
+    return x / s
 
 
 def supports_fused_bottleneck(h: int, w: int, c: int, cm: int,
@@ -275,7 +287,7 @@ def _stage1_int8_kernel(x_ref, scl_ref,
     # truncating convert toward zero, like the XLA graph's .astype(int8)
     sc = jnp.clip(scq, -127.0, 127.0).astype(jnp.int32).astype(f32) * dsc
     out = jnp.maximum(y + sc, 0.0)
-    x1 = jnp.clip(out / scl[0, 3] + 0.5, 0.0, 127.0) \
+    x1 = jnp.clip(_unscale(out, scl[0, 3]) + 0.5, 0.0, 127.0) \
         .astype(jnp.int32).astype(jnp.bfloat16)
 
     # block 1: identity shortcut = dequantized x1
@@ -284,7 +296,7 @@ def _stage1_int8_kernel(x_ref, scl_ref,
                       h, w, cm, bt)
     y = _qdot(q2, k3b[...]) * s3b[...] + b3b[...]
     out = jnp.maximum(y + x1.astype(f32) * scl[0, 3], 0.0)
-    x2 = jnp.clip(out / scl[0, 6] + 0.5, 0.0, 127.0) \
+    x2 = jnp.clip(_unscale(out, scl[0, 6]) + 0.5, 0.0, 127.0) \
         .astype(jnp.int32).astype(jnp.bfloat16)
 
     # block 2
@@ -293,7 +305,7 @@ def _stage1_int8_kernel(x_ref, scl_ref,
                       h, w, cm, bt)
     y = _qdot(q2, k3c[...]) * s3c[...] + b3c[...]
     out = jnp.maximum(y + x2.astype(f32) * scl[0, 6], 0.0)
-    out8 = jnp.clip(out / scl[0, 9] + 0.5, 0.0, 127.0).astype(jnp.int8)
+    out8 = jnp.clip(_unscale(out, scl[0, 9]) + 0.5, 0.0, 127.0).astype(jnp.int8)
     out_ref[...] = out8.reshape(bt, h, w, cout)
 
 
@@ -405,7 +417,7 @@ def _resblocks_kernel(*refs, nb, h, w, cin, cm, bt, out_int8, carrier):
         xq = _resblock_i8(xq, pad_ref, k1, s1, b1, k2, s2, b2, k3, s3, b3,
                           r_in, r2, r3, r_out, h, w, cm, bt, last, carrier)
     if out_int8:
-        xq = jnp.clip(xq / scl[0, 3 * nb] + 0.5, 0.0, 127.0).astype(jnp.int8)
+        xq = jnp.clip(_unscale(xq, scl[0, 3 * nb]) + 0.5, 0.0, 127.0).astype(jnp.int8)
         out_ref[...] = xq.reshape(bt, h, w, cin)
     else:
         out_ref[...] = xq.reshape(bt, h, w, cin).astype(out_ref.dtype)
@@ -459,3 +471,119 @@ def fused_resblocks_int8(x8: jnp.ndarray, block_ops, scl: jnp.ndarray,
         scratch_shapes=[pltpu.VMEM((bt, h + 2, w + 2, cm), carrier)],
         interpret=interpret,
     )(x8, *operands)
+
+
+# ------------------------------------------ cross-block pointwise fusion (cb3·cb1)
+#
+# The spatially-fused kernels above lose to XLA on this runtime (halo slicing /
+# im2col copies — STATUS.md). This kernel fuses ONLY the pointwise chain that
+# crosses a block boundary: block n's [cb3 (1×1) → +residual → requant] with
+# block n+1's [cb1 (1×1) → requant]. In the XLA int8 graph these are two
+# fusions with the block-output tensor crossing HBM between them — the
+# cb3+residual fusion writes out8 and the next block's cb1 fusion re-reads it.
+# Both ops are pure matmuls over the flattened spatial grid (no halos), so one
+# batch-streamed kernel computes both while out8 is VMEM-resident: per pair,
+# HBM traffic drops from read(Cm+C)+write(C) + read(C)+write(C1) to
+# read(Cm+C)+write(C+C1) rows — one full re-read of the block-output tensor
+# gone (e.g. 103 MB per stage-1 pair at batch 128). Operands/results keep the
+# NHWC 4-D shapes of the surrounding convs (the kernel collapses (bt,H,W) to
+# rows in VMEM, which is layout-free) — a flattened (R,C) interface measured
+# ~0.5 ms/pair of XLA relayout copies at the pallas boundaries.
+
+
+def _cb3_cb1_batch_tile(n: int, h: int, w: int, c: int) -> int:
+    """Largest batch tile that divides n and keeps the f32 pre-residual tile
+    ≤ ~3.5 MB (double-buffered in/out DMA stays well under the 16 MB VMEM)."""
+    bt = n
+    while bt > 1 and (n % bt or bt * h * w * c * 4 > (7 << 19)):
+        bt -= 1
+    return bt
+
+
+def _cb3_cb1_kernel(x_ref, res_ref, k3_ref, s3_ref, b3_ref,
+                    k1_ref, s1_ref, b1_ref, scl_ref, out_ref, y_ref,
+                    *, wide_k1):
+    f32 = jnp.float32
+    scl = scl_ref[...]
+    bt, h, w, cm = x_ref.shape
+    c = res_ref.shape[-1]
+    rows = bt * h * w
+    xb = x_ref[...].reshape(rows, cm).astype(jnp.bfloat16)  # s8→bf16 exact
+    # cb3: same integer-exact bf16 dot as _qdot (K = Cm ≤ 512 keeps partial
+    # sums < 2^24), same f32 epilogue order as qconv.
+    y3 = jnp.dot(xb, k3_ref[...], preferred_element_type=f32) \
+        * s3_ref[...] + b3_ref[...]
+    out = y3 + res_ref[...].reshape(rows, c).astype(f32) * scl[0, 0]
+    # _requant: relu folds into the clip-at-0; +0.5 then truncating convert.
+    qf = jnp.clip(_unscale(out, scl[0, 1]) + 0.5, 0.0, 127.0)
+    if wide_k1:
+        # K = C > 1024: f32 accumulation of s8 products can exceed 2^24 —
+        # run the MXU s8×s8→s32 path (exact; and at these widths Mosaic's
+        # int8 dots run near rate — STATUS.md resblocks measurement).
+        out8 = qf.astype(jnp.int8)
+        out_ref[...] = out8.reshape(out_ref.shape)
+        acc = jnp.dot(out8, k1_ref[...],
+                      preferred_element_type=jnp.int32).astype(f32)
+    else:
+        qi = qf.astype(jnp.int32)
+        out_ref[...] = qi.astype(jnp.int8).reshape(out_ref.shape)
+        acc = jnp.dot(qi.astype(jnp.bfloat16), k1_ref[...],
+                      preferred_element_type=f32)
+    y1 = acc * s1_ref[...] + b1_ref[...]
+    y8 = jnp.clip(_unscale(y1, scl[0, 2]) + 0.5, 0.0, 127.0).astype(jnp.int8)
+    y_ref[...] = y8.reshape(y_ref.shape)
+
+
+def fused_cb3_cb1_int8(x8: jnp.ndarray, res8: jnp.ndarray, ops: dict,
+                       batch_tile: int = 0, row_chunk: int = 0,
+                       s8_dot: bool = None, interpret: bool = False):
+    """Block n's cb3+residual+requant fused with block n+1's cb1+requant.
+
+    x8: (N, H, W, Cm) s8 — block n's cb2 output (post-requant, post-pool).
+    res8: (N, H, W, C) s8 residual on scale scl[0] (the block input for
+    identity blocks; the requantized conv-shortcut output for b0 blocks).
+    ops (ops/quantize.cb3_cb1_operands): k3 (Cm,C), s3/b3 (1,C) f32,
+    k1 (C,C1), s1/b1 (1,C1) f32, scl (1,3) f32 = [r_res, r_out, r_next].
+    row_chunk (< H) splits each batch tile's rows across a second grid dim —
+    the whole chain is pointwise over rows, so chunking is exact; it trades
+    smaller f32 epilogue temporaries for more grid steps to pipeline.
+
+    Returns (out8 (N,H,W,C) s8 on r_out — block n's output, the next residual
+    — and y8 (N,H,W,C1) s8 on r_next — block n+1's cb1 output, its cb2
+    input). Numerics mirror ops/quantize.quantized_trunk_apply op-for-op;
+    every dot is integer-exact (see _qdot and the wide-K s32 path) — bit-exact
+    vs the XLA int8 graph (tests/test_quantize.py, test_bottleneck_kernel.py).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = interpret or jax.default_backend() == "cpu"
+    n, h, w, cm = x8.shape
+    c = res8.shape[-1]
+    c1 = ops["k1"].shape[-1]
+    # K = C > 1024: f32 accumulation of s8 products can exceed 2^24 — the
+    # kernel must run the MXU s8×s8→s32 dot (also measured faster at these
+    # widths). s8_dot overrides for K ≤ 1024 (both paths exact there).
+    wide_k1 = c > 1024 if s8_dot is None else s8_dot
+    assert not (c > 1024 and not wide_k1), "K>1024 requires the s32 dot"
+    bt = batch_tile or _cb3_cb1_batch_tile(n, h, w, c)
+    hc = row_chunk or h
+    assert n % bt == 0 and h % hc == 0, (n, bt, h, hc)
+
+    k3 = ops["k3"].astype(jnp.bfloat16)  # integer values — exact in bf16
+    k1 = ops["k1"] if wide_k1 else ops["k1"].astype(jnp.bfloat16)
+    consts = [k3, ops["s3"], ops["b3"], k1, ops["s1"], ops["b1"], ops["scl"]]
+    const_specs = [pl.BlockSpec(a.shape, lambda i, j, _s=a.shape: (0,) * len(_s),
+                                memory_space=pltpu.VMEM) for a in consts]
+    tile = lambda ch: pl.BlockSpec((bt, hc, w, ch), lambda i, j: (i, j, 0, 0),
+                                   memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_cb3_cb1_kernel, wide_k1=wide_k1),
+        grid=(n // bt, h // hc),
+        in_specs=[tile(cm), tile(c)] + const_specs,
+        out_specs=[tile(c), tile(c1)],
+        out_shape=[jax.ShapeDtypeStruct((n, h, w, c), jnp.int8),
+                   jax.ShapeDtypeStruct((n, h, w, c1), jnp.int8)],
+        interpret=interpret,
+    )(x8, res8, *consts)

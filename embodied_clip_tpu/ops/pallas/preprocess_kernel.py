@@ -64,8 +64,11 @@ def _band_tiles(in_hw, size, method, n_tile=128, k_align=128):
 def _kernel(x_ref, wh_ref, ww3t_ref, inv_ref, shift_ref, out_ref, *,
             out_dtype, band_tiles):
     hi = jax.lax.Precision.DEFAULT  # bf16 MACs; the uint8-grid quantize absorbs the error
-    # Mosaic has no direct u8→f32 cast; widen via int32 first.
-    x = x_ref[0].astype(jnp.int32).astype(jnp.float32)     # (H, W*3), 0..255
+    g, h, w3 = x_ref.shape
+    # Mosaic has no direct u8→f32 cast; widen via int32 first. The group's
+    # images stack along M (rows are independent in the width pass), so g > 1
+    # just widens every dot's M — no extra FLOPs.
+    x = x_ref[...].astype(jnp.int32).astype(jnp.float32).reshape(g * h, w3)
     # Width pass as banded 128-lane tiles (_band_tiles): exact — the skipped
     # K-tiles are identically zero in the bicubic weight matrix.
     parts = [
@@ -73,16 +76,18 @@ def _kernel(x_ref, wh_ref, ww3t_ref, inv_ref, shift_ref, out_ref, *,
                     preferred_element_type=jnp.float32)
         for (n0, n1, k0, k1) in band_tiles
     ]
-    a = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)  # (H, OW*3)
+    a = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)  # (g·H, OW*3)
     a = jnp.clip(jnp.round(a), 0.0, 255.0)                 # PIL per-pass uint8 grid
-    # Height pass stays one dense dot: banding it (m-tiled Wh row blocks)
-    # wedges the Mosaic compile on this runtime and the dense pass is only
-    # ~90M FLOPs/frame — not worth it.
-    b = jax.lax.dot(wh_ref[...], a, precision=hi,
-                    preferred_element_type=jnp.float32)    # (OH, OW*3)
-    b = jnp.clip(jnp.round(b), 0.0, 255.0)
-    out = b * inv_ref[...] - shift_ref[...]                # normalize, broadcast (1, OW*3)
-    out_ref[0] = out.astype(out_dtype)
+    # Height pass stays dense per image: banding it (m-tiled Wh row blocks)
+    # wedges the Mosaic compile on this runtime, and a block-diagonal
+    # kron(I_g, Wh) form would g-plicate its ~90M FLOPs/frame. A static loop
+    # of g dots keeps the FLOPs flat.
+    for i in range(g):
+        b = jax.lax.dot(wh_ref[...], a[i * h:(i + 1) * h], precision=hi,
+                        preferred_element_type=jnp.float32)  # (OH, OW*3)
+        b = jnp.clip(jnp.round(b), 0.0, 255.0)
+        out = b * inv_ref[...] - shift_ref[...]            # normalize, broadcast (1, OW*3)
+        out_ref[i] = out.astype(out_dtype)
 
 
 def fused_preprocess_pallas(frames: jnp.ndarray, size: int, mean, std,
@@ -96,11 +101,25 @@ def fused_preprocess_pallas(frames: jnp.ndarray, size: int, mean, std,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    import os
+
     assert frames.dtype == jnp.uint8, "fused preprocess expects raw uint8 frames"
     n, h, w, c = frames.shape
     assert c == 3
     wh, ww3 = _plan((h, w), size, method)
     oh, ow3 = size, size * 3
+
+    # Images per grid step (ECT_PP_GROUP): grouping widens the width-pass M
+    # and cuts the grid-step count at zero extra FLOPs — but measured a ~1%
+    # in-graph REGRESSION (g=1: 14,351 vs g=2: 14,196 / g=4: 14,215 frames/s;
+    # STATUS.md round-4 log): per-image blocks already pipeline fully and the
+    # bigger f32 temporaries hurt DMA overlap granularity. Default 1; the
+    # knob stays for re-measurement on other TPU generations. Bounded by
+    # VMEM: the f32 image block is g·H·W·3·4 B and must leave room for the
+    # banded weight matrix + f32 width-pass output.
+    g = int(os.environ.get("ECT_PP_GROUP", "1"))
+    while g > 1 and (n % g or g * h * w * 3 * 4 > (9 << 20)):
+        g -= 1
 
     # Channel constants tiled across width: layout is (w0c0 w0c1 w0c2 w1c0 ...).
     inv = np.tile(1.0 / (255.0 * np.asarray(std, np.float32)), size).reshape(1, ow3)
@@ -112,16 +131,16 @@ def fused_preprocess_pallas(frames: jnp.ndarray, size: int, mean, std,
         band_tiles=_band_tiles((h, w), size, method))
     out = pl.pallas_call(
         kernel,
-        grid=(n,),
+        grid=(n // g,),
         in_specs=[
-            pl.BlockSpec((1, h, w * 3), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, h, w * 3), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((oh, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((w * 3, ow3), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ow3), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ow3), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, oh, ow3), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((g, oh, ow3), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, oh, ow3), dtype),
         interpret=interpret,

@@ -31,6 +31,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from embodied_clip_tpu.ops.pallas.bottleneck_kernel import _unscale
+
 __all__ = ["stem3_requant_pool_int8"]
 
 
@@ -58,7 +60,7 @@ def _kernel(x_ref, w_ref, b_ref, s_ref, out_ref, pad_ref, col_ref,
         # requant with the relu folded into the clip-at-0 (quantize._requant);
         # floor == the truncating s8 convert on non-negative values, kept in
         # f32 (values <= 127 are exact) so the pool stays on the f32 VPU path
-        q = jnp.floor(jnp.clip(y / s_ref[0, 0] + 0.5, 0.0, 127.0))
+        q = jnp.floor(jnp.clip(_unscale(y, s_ref[0, 0]) + 0.5, 0.0, 127.0))
         # exact integer 2x2 mean-pool, round-half-up (quantize._avg_pool_int8).
         # Mosaic lowers stride-2 slices of >2D values to an unsupported
         # gather, so the pairing is written as split-leading-dim reshapes +

@@ -94,7 +94,22 @@ def _requant(x_f32, a_scale):
     the scale multiply as one FMA, while an explicit jnp.round is a separate
     VPU pass costing ~0.6 ms/stage at batch 128 (measured; see STATUS.md).
     Differs from round-half-even only on exact ties — immaterial for PTQ."""
-    return jnp.clip(x_f32 / a_scale + 0.5, 0.0, _QMAX).astype(jnp.int8)
+    return jnp.clip(_unscale(x_f32, a_scale) + 0.5, 0.0, _QMAX).astype(jnp.int8)
+
+
+def _unscale(x_f32, a_scale):
+    """x / a_scale. ECT_RECIP_REQUANT=1 rewrites it as a multiply by the
+    trace-time-constant reciprocal — measured a consistent ~1.7% REGRESSION
+    in-graph (14.11/14.16k vs 14.36/14.35k frames/s interleaved; STATUS.md
+    round-4 log): XLA already folds the constant divide optimally and the
+    explicit reciprocal perturbs its fusion scheduling. Default stays the
+    divide, which also keeps the requant bit-identical to every committed
+    golden fixture (the reciprocal is off by ±1 s8 step on near-ties)."""
+    import os
+
+    if os.environ.get("ECT_RECIP_REQUANT", "0") == "1":
+        return x_f32 * (jnp.float32(1.0) / jnp.asarray(a_scale, jnp.float32))
+    return x_f32 / jnp.asarray(a_scale, jnp.float32)
 
 
 def _requant_signed(x_f32, a_scale):
@@ -102,7 +117,7 @@ def _requant_signed(x_f32, a_scale):
     outputs): round-half-away-from-zero via a sign-selected ±0.5 then the
     truncating convert — stays one fused elementwise chain in the producing
     conv's epilogue."""
-    y = x_f32 / a_scale
+    y = _unscale(x_f32, a_scale)
     y = jnp.where(y >= 0, y + 0.5, y - 0.5)
     return jnp.clip(y, -_QMAX, _QMAX).astype(jnp.int8)
 
@@ -255,6 +270,34 @@ def stage1_int8_operands(q: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
     return ops
 
 
+def cb3_cb1_operands(q: Dict[str, Any], name: str, next_name: str,
+                     r_res) -> Dict[str, jnp.ndarray]:
+    """Operand prep for the cross-block pointwise fusion kernel
+    (ops/pallas/bottleneck_kernel.fused_cb3_cb1_int8): block `name`'s cb3
+    kernel + f32 epilogue scale/bias, block `next_name`'s cb1 likewise, and
+    the packed requant scales [r_res (the residual's scale), r_out (block
+    output), r_next (the next block's cb2 input scale)]. The scale products
+    are computed exactly as qconv computes them (in_scale * w_scale in f32)
+    so the kernel is bit-exact vs the XLA graph."""
+    a = q["act_scales"]
+    f32 = jnp.float32
+    cb3 = q[f"{name}/cb3"]
+    cb1n = q[f"{next_name}/cb1"]
+    s3 = jnp.asarray(a[f"{name}/cb3.in"], f32)
+    s_out = jnp.asarray(a[f"{name}.out"], f32)
+    r2n = jnp.asarray(a[f"{next_name}/cb2.in"], f32)
+    return {
+        "k3": cb3["kernel_q"][0, 0],
+        "s3": (s3 * cb3["w_scale"]).reshape(1, -1),
+        "b3": cb3["bias"].reshape(1, -1),
+        "k1": cb1n["kernel_q"][0, 0],
+        "s1": (s_out * cb1n["w_scale"]).reshape(1, -1),
+        "b1": cb1n["bias"].reshape(1, -1),
+        "scl": jnp.stack([jnp.asarray(r_res, f32), s_out, r2n])
+               .astype(f32).reshape(1, -1),
+    }
+
+
 # Minimum bottleneck width for the fused identity-resblocks Pallas kernel:
 # narrower stages run the kernel structure at <25% MXU (STATUS.md stage-1
 # measurement). Module-level so tests can exercise the fused path on tiny
@@ -311,7 +354,8 @@ def quantized_trunk_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
                           out_dtype=jnp.bfloat16, pallas_stage1: bool = False,
                           pallas_resblocks: bool = False,
                           pallas_stem: bool = False,
-                          int8_stem: str = "off"):
+                          int8_stem: str = "off",
+                          fuse_pointwise: int = 0):
     """int8 trunk forward: x is the preprocessed image batch (f32/bf16 NHWC).
     Returns the conv feature map in out_dtype. pallas_stage1 runs stage 1
     through the fused int8 Pallas kernel (not a win on this runtime — see
@@ -319,8 +363,17 @@ def quantized_trunk_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
     bottlenecks through the fused wide-channel int8 kernel (block 0 of each
     stage — stride pool + conv shortcut — stays on XLA); pallas_stem runs
     stem3 + requant + pool as one im2col-matmul kernel (ops/pallas/
-    stem_kernel.py)."""
+    stem_kernel.py); fuse_pointwise > 0 runs each block-boundary
+    [cb3 → +residual → requant] + [next cb1 → requant] pair whose block
+    output width is >= fuse_pointwise through the cross-block Pallas kernel
+    (fused_cb3_cb1_int8), cutting one HBM re-read of the block-output tensor
+    — measured NEGATIVE in-graph even for the one isolated win (stage-4
+    pairs at width 2048: 12,810 vs 14,488 frames/s — XLA relayout-pads the
+    7x7 int8 tiles to 32 sublanes at the pallas boundary; STATUS.md round-4
+    log). Mutually exclusive with pallas_resblocks, which owns those blocks
+    wholesale."""
     a = q["act_scales"]
+    fuse_pointwise = 0 if pallas_resblocks else fuse_pointwise
 
     def fp_conv(name, t, stride=1, relu=True):
         sub = q["fp"][name]["conv"]
@@ -425,6 +478,7 @@ def quantized_trunk_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
         return j - i
 
     i = 0
+    q1_carry = None  # next block's cb1 output (s8), produced by the fused kernel
     while i < len(blocks):
         name, stride = blocks[i]
         if pallas_resblocks and (run := _identity_run(i)) > 0:
@@ -447,14 +501,17 @@ def quantized_trunk_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
 
         # cb1/cb2 relus fold into the next _requant's clip-at-0 lower bound
         # (bit-identical on the int8 grid; one fewer VPU pass per conv epilogue).
-        o = qconv(q[f"{name}/cb1"], t8, s_in)
+        if q1_carry is None:
+            q18 = _requant(qconv(q[f"{name}/cb1"], t8, s_in),
+                           a[f"{name}/cb2.in"])
+        else:
+            q18, q1_carry = q1_carry, None
         s2 = a[f"{name}/cb2.in"]
-        o = qconv(q[f"{name}/cb2"], _requant(o, s2), s2)
+        o = qconv(q[f"{name}/cb2"], q18, s2)
         s3 = a[f"{name}/cb3.in"]
         o8 = _requant(o, s3)  # pre-pool for stride blocks: cb2's epilogue fuses
         if stride > 1:
             o8 = _avg_pool_int8(o8, stride)
-        o = qconv(q[f"{name}/cb3"], o8, s3)
 
         if f"{name}/down" in q["fp"]:
             # Identity path traffic runs on the int8 grid end-to-end: pool the
@@ -463,14 +520,30 @@ def quantized_trunk_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
             # calibration) so the residual tensor crossing to the cb3 fusion is
             # s8 instead of bf16 — the conv itself stays bf16 (int8 shortcut
             # convs regress: STATUS.md round-2 log).
-            id8 = _avg_pool_int8(t8, stride) if stride > 1 else t8
-            identity = fp_conv(f"{name}/down",
-                               id8.astype(jnp.float32) * s_in, relu=False)
-            ds = a[f"{name}/down.out"]
-            identity = _requant_signed(identity, ds).astype(jnp.float32) * ds
+            idsrc = _avg_pool_int8(t8, stride) if stride > 1 else t8
+            down = fp_conv(f"{name}/down",
+                           idsrc.astype(jnp.float32) * s_in, relu=False)
+            r_res = a[f"{name}/down.out"]
+            id8 = _requant_signed(down, r_res)
         else:
-            identity = t8.astype(jnp.float32) * s_in
-        if name == blocks[-1][0]:
+            id8, r_res = t8, s_in
+
+        is_last = name == blocks[-1][0]
+        c_out = q[f"{name}/cb3"]["kernel_q"].shape[-1]
+        if fuse_pointwise and c_out >= fuse_pointwise and not is_last:
+            from embodied_clip_tpu.ops.pallas.bottleneck_kernel import (
+                fused_cb3_cb1_int8,
+            )
+
+            ops = cb3_cb1_operands(q, name, blocks[i + 1][0], r_res)
+            t8, q1_carry = fused_cb3_cb1_int8(o8, id8, ops)
+            s_in = a[f"{name}.out"]
+            i += 1
+            continue
+
+        o = qconv(q[f"{name}/cb3"], o8, s3)
+        identity = id8.astype(jnp.float32) * r_res
+        if is_last:
             # conv map output: no final requant round-trip
             return nn.relu(o + identity).astype(out_dtype)
         s_in = a[f"{name}.out"]

@@ -30,6 +30,21 @@ def test_fused_kernel_matches_reference_path(kind, mean, std):
     assert (err > 0.5 * lsb).mean() < 1e-3  # flips are rare
 
 
+def test_grouped_grid_steps_match_ungrouped(monkeypatch):
+    """ECT_PP_GROUP=2 packs two images per grid step (images stack along the
+    width-pass M; height pass loops per image) — bit-identical to g=1."""
+    frames = jnp.asarray(
+        np.random.RandomState(2).randint(0, 256, (4, 300, 300, 3), np.uint8))
+    args = (frames, 224, constants.CLIP_MEAN, constants.CLIP_STD)
+    monkeypatch.setenv("ECT_PP_GROUP", "1")
+    ref = np.asarray(fused_preprocess_pallas(*args, dtype=jnp.float32,
+                                             interpret=True))
+    monkeypatch.setenv("ECT_PP_GROUP", "2")
+    got = np.asarray(fused_preprocess_pallas(*args, dtype=jnp.float32,
+                                             interpret=True))
+    np.testing.assert_array_equal(ref, got)
+
+
 def test_fused_kernel_upscale_shape():
     frames = np.random.RandomState(1).randint(0, 256, (1, 160, 120, 3), np.uint8)
     got = fused_preprocess_pallas(

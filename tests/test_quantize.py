@@ -83,3 +83,17 @@ def test_int8_stem_variants_close_to_f32(encs, monkeypatch):
             d = cosine_distance(np.asarray(ref[k], np.float32),
                                 np.asarray(out[k], np.float32))
             assert d < 1e-3, (variant, k, d)
+
+def test_fuse_pointwise_bit_exact(encs, monkeypatch):
+    """ECT_FUSE_POINTWISE=1 routes every block-boundary cb3+residual+requant /
+    cb1+requant pair through the cross-block Pallas kernel (fused_cb3_cb1_int8)
+    — every dot in the kernel is integer-exact and the epilogues mirror the
+    XLA graph op-for-op, so the conv map is BIT-exact vs the default graph."""
+    _, qenc, frames = encs
+    monkeypatch.setenv("ECT_FUSE_POINTWISE", "0")
+    ref = qenc.encode(frames)
+    monkeypatch.setenv("ECT_FUSE_POINTWISE", "1")
+    out = qenc.encode(frames)
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(ref[k], np.float32),
+                                      np.asarray(out[k], np.float32), k)

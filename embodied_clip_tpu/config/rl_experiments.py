@@ -392,6 +392,7 @@ class NavRLExperiment(Experiment):
         import time as _time
 
         t_start = _time.perf_counter()
+        start_steps = env_steps
         win_t, win_steps, win_it = t_start, env_steps, it
         while env_steps < self.total_env_steps:
             if self.algo == "dagger":
@@ -422,8 +423,11 @@ class NavRLExperiment(Experiment):
         jax.block_until_ready(metrics)
         total_t = _time.perf_counter() - t_start
         if "env_steps_per_s" not in metrics and it > 0:
+            # no 10-iteration window completed: report the whole run's steps
+            # over the whole run's time (NOT the last partial window's steps
+            # over total time, which understates the rate)
             metrics["env_steps_per_s"] = (
-                (env_steps - win_steps) / max(total_t, 1e-9))
+                (env_steps - start_steps) / max(total_t, 1e-9))
             metrics["iteration_time_s"] = total_t / max(it, 1)
         if writer:
             writer.close()
@@ -693,14 +697,24 @@ class NavRLExperiment(Experiment):
                 class_names=names, goal_map_fn=self._goal_map_fn(env),
                 encode_fn=self._encode_fn(),
             )
-        os.makedirs(os.path.join(output_dir, self.name), exist_ok=True)
-        path = write_metrics_json(
-            os.path.join(output_dir, self.name, "metrics.json"), episodes
-        )
-        per_type = {
-            t: compute_scores(path, t)
-            for t in sorted({e["task_info"]["object_type"] for e in episodes})
-        }
+        # Multi-process eval: episodes are already the MERGED records (see
+        # _evaluate_host); exactly one process writes the single metrics.json.
+        path = os.path.join(output_dir, self.name, "metrics.json")
+        if jax.process_index() == 0:
+            os.makedirs(os.path.join(output_dir, self.name), exist_ok=True)
+            path = write_metrics_json(path, episodes)
+            per_type = {
+                t: compute_scores(path, t)
+                for t in sorted({e["task_info"]["object_type"] for e in episodes})
+            }
+        else:
+            # same aggregation as compute_scores, from the in-memory records
+            # (process 0's file may not be on this host's filesystem)
+            per_type = {}
+            for t in sorted({e["task_info"]["object_type"] for e in episodes}):
+                eps = [e for e in episodes if e["task_info"]["object_type"] == t]
+                per_type[t] = (sum(e["success"] for e in eps) / len(eps),
+                               sum(e["spl"] for e in eps) / len(eps))
         overall = {
             "success": float(np.mean([e["success"] for e in episodes])),
             "spl": float(np.mean([e["spl"] for e in episodes])),
@@ -708,6 +722,9 @@ class NavRLExperiment(Experiment):
             "episodes_requested": self.eval_episodes,
             "metrics_file": path,
         }
+        if jax.process_count() > 1:
+            overall["episodes_local"] = int(
+                getattr(self, "_eval_episodes_local", 0))
         overall["per_object_type"] = {t: {"success": s, "spl": p}
                                       for t, (s, p) in per_type.items()}
         return overall
@@ -715,15 +732,30 @@ class NavRLExperiment(Experiment):
 
     def _evaluate_host(self, ckpt: Optional[str]):
         """Eval on the real simulator pool (VectorEnv of THOR/Habitat/hostgrid
-        workers), RoboTHOR val scenes. Returns per-episode records."""
+        workers), RoboTHOR val scenes. Returns per-episode records.
+
+        Multi-process runs (the same launcher as training,
+        baselines_habitat.md:88-97) SHARD the episode request: process p owns
+        its own pool (worker seeds offset to global env indices, like
+        training), evaluates its share of eval_episodes, and the records are
+        allgathered so every process returns the merged list — no duplicated
+        pools, no duplicated episodes, one metrics.json (written by process 0
+        in evaluate())."""
         import jax
         import jax.numpy as jnp
 
         from embodied_clip_tpu.envs.vector import VectorEnv
+        from embodied_clip_tpu.parallel.distributed import initialize_distributed
+        from embodied_clip_tpu.parallel.mesh import gather_records, local_view
         from embodied_clip_tpu.training.evaluate import evaluate_policy_host
         from embodied_clip_tpu.utils.checkpoint import restore_params
 
-        env_fns, frame_shape = self._host_env_fns(eval_split=True)
+        initialize_distributed()
+        world, pid = jax.process_count(), jax.process_index()
+        local_episodes = (self.eval_episodes // world
+                          + (1 if pid < self.eval_episodes % world else 0))
+        env_fns, frame_shape = self._host_env_fns(
+            eval_split=True, seed_offset=pid * self.num_workers)
         venv = VectorEnv(env_fns, frame_shape=frame_shape)
         try:
             encode = self._encode_fn()
@@ -754,6 +786,11 @@ class NavRLExperiment(Experiment):
                     }
                     policy = AllenActResnetPolicy(**cfg)
             params = getattr(self, "_last_params", None)
+            if params is not None:
+                # train() on a multi-process mesh leaves GLOBAL (replicated,
+                # non-addressable) arrays; the eval act-step is a process-local
+                # single-device jit — feed it the local replica.
+                params = local_view(params)
             goal_map = self._goal_map_fn(venv) if self.zeroshot else None
             if ckpt:
                 obs0 = venv.reset()
@@ -772,12 +809,15 @@ class NavRLExperiment(Experiment):
                     jnp.zeros((venv.n,), bool))["params"]
                 params = restore_params(ckpt, template)
             assert params is not None, "evaluate needs --ckpt or a preceding train()"
-            return evaluate_policy_host(
-                venv, policy.apply, params, jax.random.PRNGKey(self.seed),
-                num_episodes=self.eval_episodes, hidden=policy.hidden,
+            local = evaluate_policy_host(
+                venv, policy.apply, params,
+                jax.random.fold_in(jax.random.PRNGKey(self.seed), pid),
+                num_episodes=local_episodes, hidden=policy.hidden,
                 num_actions=num_actions, encode_fn=encode, goal_map_fn=goal_map,
                 class_names=list(ROBOTHOR_OBJECT_TYPES),
-            )
+            ) if local_episodes > 0 else []
+            self._eval_episodes_local = len(local)
+            return gather_records(local)
         finally:
             venv.close()
 

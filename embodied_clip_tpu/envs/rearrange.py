@@ -1,10 +1,19 @@
-"""Pure-JAX 1-phase rearrangement env (pick → carry → place).
+"""Pure-JAX rearrangement envs (pick → carry → place), 1-phase and 2-phase.
 
-Fake-env analogue of the reference's iTHOR 1-phase Rearrangement suite
-(baselines_ithor_rearrangement.md:7-12: OnePhase*Dagger, trained with DAgger IL): one
-misplaced object must be picked up at its current cell and dropped at its goal cell.
-Jittable like envs/gridworld.py (pytree state, auto-reset, lax.scan rollouts) and
-ships a greedy two-phase expert oracle for DAgger.
+Fake-env analogue of the reference's iTHOR Rearrangement suite
+(baselines_ithor_rearrangement.md:4-12). 1-phase (`GridRearrangeEnv`,
+OnePhase*Dagger, trained with DAgger IL): one misplaced object must be picked
+up at its current cell and dropped at its goal cell, with the goal cell
+visible throughout. Jittable like envs/gridworld.py (pytree state, auto-reset,
+lax.scan rollouts) and ships a greedy expert oracle for DAgger.
+
+2-phase (`GridTwoPhaseRearrangeEnv`): the upstream walkthrough→unshuffle
+variant — the agent first observes the scene in its GOAL configuration
+(object sitting on its goal cell, goal channel visible), ends the walkthrough
+with Drop (or exhausts the budget), then the object teleports to a random
+cell, the agent teleports to a fresh start, and the goal channel DISAPPEARS:
+the unshuffle phase must be solved from the GRU's memory of the walkthrough.
+obs["goal"] carries the phase flag (0 walkthrough / 1 unshuffle).
 
 Actions: MoveAhead, RotateLeft, RotateRight, Pickup, Drop.
 Success: Drop while holding and within success_dist of the goal cell.

@@ -1,4 +1,5 @@
-"""iTHOR 1-phase Rearrangement adapter — a HostEnv over ai2thor.Controller.
+"""iTHOR Rearrangement adapters (1-phase and 2-phase) — HostEnvs over
+ai2thor.Controller.
 
 Behavioral spec from the reference's rearrangement branch (readme_files/
 baselines_ithor_rearrangement.md:4-12): the scene starts with some objects moved
@@ -7,6 +8,15 @@ means the agent observes the CURRENT scene and the GOAL scene simultaneously —
 upstream task runs two THOR instances, an "unshuffle" one the agent acts in and a
 "walkthrough" one held at the goal state and rendered from the mirrored agent pose.
 This adapter does the same with two controllers.
+
+2-phase (`THORTwoPhaseRearrangeEnv`) is the upstream walkthrough→unshuffle
+variant: the agent first explores the scene IN its goal configuration
+(navigation only; Done or budget exhaustion ends the phase), then the scene is
+shuffled and the agent must restore it from memory — no goal view, a single
+controller, and a phase flag in the observation (obs["goal"] ∈ {0, 1}).
+The released rearrangement models are 1-phase only
+(baselines_ithor_rearrangement.md:7-12); 2-phase covers the branch's other
+documented task configuration.
 
 Observations: {"visual": current RGB, "goal_visual": goal-state RGB (same pose),
 "goal": 0}. Actions: navigation + PickupMisplaced / PutHeld / OpenTarget /
@@ -36,7 +46,7 @@ import numpy as np
 
 from embodied_clip_tpu.envs.base import HostEnv
 
-__all__ = ["THORRearrangeEnv", "REARRANGE_ACTIONS"]
+__all__ = ["THORRearrangeEnv", "THORTwoPhaseRearrangeEnv", "REARRANGE_ACTIONS"]
 
 REARRANGE_ACTIONS = (
     "MoveAhead", "RotateLeft", "RotateRight", "LookUp", "LookDown",
@@ -46,6 +56,7 @@ REARRANGE_ACTIONS = (
 
 class THORRearrangeEnv(HostEnv):
     num_actions = len(REARRANGE_ACTIONS)
+    uses_goal_view = True  # 1-phase: second controller renders the goal state
 
     def __init__(self, scenes: Sequence[str], num_misplaced: int = 2,
                  num_toggled_open: int = 1, width: int = 300, height: int = 300,
@@ -69,7 +80,10 @@ class THORRearrangeEnv(HostEnv):
                   visibilityDistance=visibility_distance,
                   **(controller_kwargs or {}))
         self.controller = controller_factory(**kw)          # unshuffle (acted on)
-        self.goal_controller = controller_factory(**kw)     # walkthrough (goal state)
+        # walkthrough (goal-state) instance — only the 1-phase task renders a
+        # simultaneous goal view; 2-phase relies on the walkthrough PHASE.
+        self.goal_controller = (controller_factory(**kw)
+                                if self.uses_goal_view else None)
         self.scenes = list(scenes)
         self.num_misplaced = num_misplaced
         self.num_toggled_open = num_toggled_open
@@ -137,22 +151,29 @@ class THORRearrangeEnv(HostEnv):
 
     # ------------------------------------------------------------------- lifecycle
 
-    def reset(self) -> Dict[str, np.ndarray]:
-        scene = self.rng.choice(self.scenes)
-        self.controller.reset(scene=scene)
-        self.goal_controller.reset(scene=scene)
-
-        objs = self._objects()
-        goal_poses = {
+    def _record_goal_poses(self, objs) -> Dict[str, Dict]:
+        return {
             o["objectId"]: dict(position=dict(o["position"]),
                                 isOpen=bool(o.get("isOpen", False)))
             for o in objs
         }
 
-        # Shuffle: displace pickupable objects, toggle openable ones (the upstream
-        # unshuffle-phase scene perturbation).
-        reach = self.controller.step(action="GetReachablePositions") \
+    def _reachable(self):
+        return self.controller.step(action="GetReachablePositions") \
             .metadata.get("actionReturn") or []
+
+    def _teleport_random(self, reach) -> None:
+        if reach:
+            p = self.rng.choice(reach)
+            self.controller.step(
+                action="TeleportFull", position=p,
+                rotation=dict(x=0, y=self.rng.choice([0, 90, 180, 270]), z=0),
+                horizon=0, standing=True,
+            )
+
+    def _shuffle(self, objs, goal_poses, reach) -> None:
+        """The upstream unshuffle-phase scene perturbation: displace pickupable
+        objects, toggle openable ones."""
         pickupable = [o for o in objs if o.get("pickupable")]
         self.rng.shuffle(pickupable)
         displaced = {o["objectId"] for o in pickupable[: self.num_misplaced]} \
@@ -190,14 +211,16 @@ class THORRearrangeEnv(HostEnv):
                 objectId=o["objectId"], forceAction=True,
             )
 
-        # Random agent start over reachable positions.
-        if reach:
-            p = self.rng.choice(reach)
-            self.controller.step(
-                action="TeleportFull", position=p,
-                rotation=dict(x=0, y=self.rng.choice([0, 90, 180, 270]), z=0),
-                horizon=0, standing=True,
-            )
+    def reset(self) -> Dict[str, np.ndarray]:
+        scene = self.rng.choice(self.scenes)
+        self.controller.reset(scene=scene)
+        self.goal_controller.reset(scene=scene)
+
+        objs = self._objects()
+        goal_poses = self._record_goal_poses(objs)
+        reach = self._reachable()
+        self._shuffle(objs, goal_poses, reach)
+        self._teleport_random(reach)  # random agent start
 
         self._episode = {
             "t": 0,
@@ -343,6 +366,83 @@ class THORRearrangeEnv(HostEnv):
     def close(self) -> None:
         for c in (self.controller, self.goal_controller):
             try:
-                c.stop()
+                if c is not None:
+                    c.stop()
             except Exception:
                 pass
+
+
+class THORTwoPhaseRearrangeEnv(THORRearrangeEnv):
+    """Upstream 2-phase Rearrangement: walkthrough → unshuffle.
+
+    Phase 0 (walkthrough): the scene is in its GOAL configuration; the agent
+    may only navigate (interaction actions are inert) and observes the goal
+    state directly. `Done` — or exhausting `walkthrough_budget` steps — ends
+    the phase: the scene is shuffled, the agent teleports to a fresh start,
+    and phase 1 begins. Phase 1 (unshuffle): identical to the 1-phase task
+    EXCEPT there is no simultaneous goal view — the agent restores the scene
+    from what it memorized during the walkthrough. One controller, not two.
+
+    Observations: {"visual": RGB, "goal": phase ∈ {0, 1}} — the phase flag
+    rides the policy's goal-class embedding. Metrics are emitted at the end
+    of the unshuffle phase with the 1-phase schema (success/prop_fixed/
+    num_newly_misplaced). Ref: baselines_ithor_rearrangement.md:4-12 (the
+    released models are 1-phase; 2-phase is the branch's other documented
+    task configuration)."""
+
+    uses_goal_view = False
+    _NAV = ("MoveAhead", "RotateLeft", "RotateRight", "LookUp", "LookDown")
+
+    def __init__(self, *args, walkthrough_budget: int = 50, **kw):
+        super().__init__(*args, **kw)
+        self.walkthrough_budget = walkthrough_budget
+
+    def _obs(self) -> Dict[str, np.ndarray]:
+        return {
+            "visual": np.asarray(self.controller.last_event.frame, np.uint8),
+            "goal": np.int32(self._episode.get("phase", 0)),
+        }
+
+    def reset(self) -> Dict[str, np.ndarray]:
+        scene = self.rng.choice(self.scenes)
+        self.controller.reset(scene=scene)
+        objs = self._objects()
+        # Walkthrough phase: the scene STAYS in its goal configuration; the
+        # shuffle is deferred to the phase switch.
+        self._episode = {
+            "t": 0,
+            "walk_t": 0,
+            "phase": 0,
+            "goal_poses": self._record_goal_poses(objs),
+            "held": None,
+        }
+        self._reach = self._reachable()
+        self._teleport_random(self._reach)
+        return self._obs()
+
+    def _begin_unshuffle(self) -> None:
+        self._shuffle(self._objects(), self._episode["goal_poses"], self._reach)
+        self._teleport_random(self._reach)
+        self._episode["phase"] = 1
+        self._episode["start_misplaced"] = self._misplaced_ids()
+        self._episode["prev_misplaced"] = set(self._episode["start_misplaced"])
+
+    def step(self, action: int):
+        if self._episode["phase"] == 0:
+            name = REARRANGE_ACTIONS[action]
+            self._episode["walk_t"] += 1
+            if name in self._NAV:
+                self.controller.step(action=name)
+            # interactions are inert during the walkthrough; Done ends it
+            if name == "Done" \
+                    or self._episode["walk_t"] >= self.walkthrough_budget:
+                self._begin_unshuffle()
+            return self._obs(), 0.0, False, {}
+        return super().step(action)
+
+    def expert_action(self) -> int:
+        # The DAgger expert ends the walkthrough immediately (it needs no
+        # memory — phase-1 expertise reads scene metadata directly).
+        if self._episode["phase"] == 0:
+            return REARRANGE_ACTIONS.index("Done")
+        return super().expert_action()

@@ -17,7 +17,12 @@ a 1:1 parameter mapping, so the published state_dicts load exactly:
   goal_visual_encoder.resnet_compressor.{0,2}      -> compress1/compress2 (1×1)
   goal_visual_encoder.target_obs_combiner.{0,2}    -> combine1/combine2 (1×1)
   state_encoders.single_belief.rnn.*_l0            -> gru (flax GRUCell)
-  actor.linear / critic.linear                     -> actor / critic
+  actor.linear / critic.fc                         -> actor / critic
+
+Note the asymmetric head naming: allenact's `LinearActorHead` registers its
+layer as `self.linear` but `LinearCriticHead` registers `self.fc`, so the
+released state_dicts carry `actor.linear.*` and `critic.fc.*`. The converter
+also accepts `critic.linear.*` as a fallback for re-exported checkpoints.
 
 Conversion subtleties (see `convert_allenact_state_dict`):
   * torch flattens the combiner output CHW; this module is NHWC — the GRU
@@ -139,6 +144,10 @@ def convert_allenact_state_dict(state_dict: Dict[str, "np.ndarray"],
           for k, v in state_dict.items()}
 
     pre = "goal_visual_encoder."
+    # allenact v0.5.x basic_models: LinearActorHead -> self.linear, but
+    # LinearCriticHead -> self.fc. Released .pt files therefore carry
+    # critic.fc.*; accept critic.linear.* as a fallback for re-exports.
+    critic_key = "critic.fc" if "critic.fc.weight" in sd else "critic.linear"
     required = [
         f"{pre}embed_goal.weight",
         f"{pre}resnet_compressor.0.weight", f"{pre}resnet_compressor.0.bias",
@@ -150,7 +159,7 @@ def convert_allenact_state_dict(state_dict: Dict[str, "np.ndarray"],
         "state_encoders.single_belief.rnn.bias_ih_l0",
         "state_encoders.single_belief.rnn.bias_hh_l0",
         "actor.linear.weight", "actor.linear.bias",
-        "critic.linear.weight", "critic.linear.bias",
+        f"{critic_key}.weight", f"{critic_key}.bias",
     ]
     missing = [k for k in required if k not in sd]
     if missing:
@@ -202,8 +211,8 @@ def convert_allenact_state_dict(state_dict: Dict[str, "np.ndarray"],
         "gru": gru,
         "actor": {"kernel": sd["actor.linear.weight"].T,
                   "bias": sd["actor.linear.bias"]},
-        "critic": {"kernel": sd["critic.linear.weight"].T,
-                   "bias": sd["critic.linear.bias"]},
+        "critic": {"kernel": sd[f"{critic_key}.weight"].T,
+                   "bias": sd[f"{critic_key}.bias"]},
     }
     meta = dict(
         num_actions=int(sd["actor.linear.weight"].shape[0]),

@@ -105,9 +105,11 @@ class FrozenEncoder:
             # quantize). f32 encoders keep the full-precision XLA path.
             self.preprocess = dataclasses.replace(self.preprocess,
                                                   use_pallas=True)
-        self._encode = jax.jit(self._encode_impl,
-                               compiler_options=_xla_serving_options())
-        self._encode_flat = None  # built lazily (needs a concrete device)
+        # jit instances keyed by (flat_layout, kernel-flag snapshot): the
+        # ECT_* kernel flags are read at TRACE time, so a cached executable
+        # would silently ignore a flag flipped between encode() calls in the
+        # same process (the bench tools and flag tests do exactly that).
+        self._jits: Dict = {}
 
     # -- pure function (jit target) ------------------------------------------------
 
@@ -150,18 +152,33 @@ class FrozenEncoder:
                 and frames.flags.c_contiguous):
             n, h, w, c = frames.shape
             frames = frames.reshape(n, h, w * c)
-        if frames.ndim == 3 and frames.shape[-1] != 3:
-            return self._flat_encode()(self.variables, frames)
-        return self._encode(self.variables, frames)
+        flat = frames.ndim == 3 and frames.shape[-1] != 3
+        return self._jit_for(flat)(self.variables, frames)
 
-    def _flat_encode(self):
-        if self._encode_flat is None:
-            fmt = _row_major_format(3)
-            self._encode_flat = (jax.jit(self._encode_impl,
-                                         in_shardings=(None, fmt),
-                                         compiler_options=_xla_serving_options())
-                                 if fmt is not None else self._encode)
-        return self._encode_flat
+    def _flag_key(self) -> tuple:
+        """Snapshot of the trace-time kernel flags this encoder reads inside
+        `_encode_impl`; a change re-traces instead of hitting a stale
+        executable. Every graph reads the preprocess grouping / requant-form /
+        compiler-option knobs; the quantized subclasses add theirs."""
+        import os
+
+        return (os.environ.get("ECT_PP_GROUP", "1"),
+                os.environ.get("ECT_RECIP_REQUANT", "0"),
+                os.environ.get("ECT_XLA_OPTS", ""))
+
+    def _jit_for(self, flat: bool):
+        key = (flat, self._flag_key())
+        fn = self._jits.get(key)
+        if fn is None:
+            fmt = _row_major_format(3) if flat else None
+            if flat and fmt is None:
+                fn = self._jit_for(False)
+            else:
+                kw = {"in_shardings": (None, fmt)} if flat else {}
+                fn = jax.jit(self._encode_impl,
+                             compiler_options=_xla_serving_options(), **kw)
+            self._jits[key] = fn
+        return fn
 
     def encode_fn(self):
         """(variables, frames) → features; for embedding in larger jitted graphs
@@ -330,6 +347,12 @@ class _QuantizedCLIPEncoder(FrozenEncoder):
 
         v = os.environ.get("ECT_INT8_STEM", "off")
         return {"0": "off", "1": "full"}.get(v, v)
+
+    def _flag_key(self) -> tuple:
+        return super()._flag_key() + (
+            self._use_pallas_stage1(), self._use_pallas_resblocks(),
+            self._use_pallas_stem(), self._use_int8_stem(),
+            self._use_fuse_pointwise())
 
     def _encode_impl(self, variables, frames):
         from embodied_clip_tpu.ops.quantize import quantized_trunk_apply

@@ -18,7 +18,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "shard_batch", "replicate", "batch_spec",
-           "shard_time_major", "is_multiprocess", "local_view", "host_scalar"]
+           "shard_time_major", "is_multiprocess", "local_view", "host_scalar",
+           "gather_records"]
 
 
 def make_mesh(dp: Optional[int] = None, mp: int = 1,
@@ -115,6 +116,36 @@ def local_view(tree):
         return x
 
     return jax.tree.map(f, tree)
+
+
+def gather_records(records: list) -> list:
+    """Allgather a process-local list of JSON-serializable records across all
+    JAX processes; every process returns the merged list in process order.
+
+    Multi-process checkpoint eval shards episodes across processes (each
+    process owns its own simulator pool, like training) and merges the
+    per-episode records before the single metrics.json write — the
+    torch.distributed gather step of the reference's 8-GPU eval launcher
+    (baselines_habitat.md:88-97), expressed as a JAX collective: records are
+    JSON bytes, allgathered as padded uint8 arrays (a two-step
+    lengths-then-payload allgather, since collectives need equal shapes)."""
+    import json
+
+    if jax.process_count() == 1:
+        return list(records)
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(json.dumps(records).encode("utf-8"), np.uint8)
+    n = payload.size
+    lengths = np.asarray(multihost_utils.process_allgather(np.int64(n)))
+    padded = np.zeros((int(lengths.max()),), np.uint8)
+    padded[:n] = payload
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    merged: list = []
+    for p in range(gathered.shape[0]):
+        merged.extend(json.loads(
+            gathered[p, : int(lengths[p])].tobytes().decode("utf-8")))
+    return merged
 
 
 def host_scalar(v) -> float:

@@ -112,14 +112,23 @@ class HostRolloutCollector:
 
     def _act_step_impl(self, params, obs, h, is_start, key, env_ids):
         logits, value, h = self.policy.apply({"params": params}, obs, h, is_start)
-        key, k = jax.random.split(key)
-        # Per-env keys from the GLOBAL env id: the sampled action for env i is
-        # independent of which process/group/batch-slot holds it.
-        keys = jax.vmap(lambda i: jax.random.fold_in(k, i))(env_ids)
+        # Per-env keys from (per-step base key, GLOBAL env id): the sampled
+        # action for env i at step t is a function of (seed, t, i) only —
+        # independent of which process, pipeline group, or batch slot holds
+        # the env (the base key is fold_in(seed, t), NOT a split chain whose
+        # length would depend on the group count).
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(env_ids)
         action = jax.vmap(jax.random.categorical)(keys, logits).astype(jnp.int32)
         logp = jnp.take_along_axis(jax.nn.log_softmax(logits, -1),
                                    action[:, None], 1)[:, 0]
-        return action, logp, value, h, key
+        return action, logp, value, h
+
+    def _step_key(self, st: Dict):
+        """Base key for this group's next act step; advances the group's step
+        counter. Groups at the same timestep t use the same base key."""
+        k = jax.random.fold_in(self._key, st["t"])
+        st["t"] += 1
+        return k
 
     def reset(self, key) -> None:
         self._g = []
@@ -130,6 +139,7 @@ class HostRolloutCollector:
                 "h": jnp.zeros((n, self.policy.hidden), jnp.float32),
                 "prev_action": jnp.full((n,), self.venv_num_actions, jnp.int32),
                 "is_start": jnp.ones((n,), bool),
+                "t": 0,
             })
         self._key = key
 
@@ -146,8 +156,8 @@ class HostRolloutCollector:
         st = self._g[g]
         with self.timer.stage("act"):
             obs_dev = self._policy_obs(st["obs"], st["prev_action"])
-            action, logp, value, st["h"], self._key = self._act_step(
-                params, obs_dev, st["h"], st["is_start"], self._key,
+            action, logp, value, st["h"] = self._act_step(
+                params, obs_dev, st["h"], st["is_start"], self._step_key(st),
                 self._env_ids[g]
             )
             action_np = np.asarray(action)  # blocks on the device act step
@@ -230,9 +240,12 @@ class HostRolloutCollector:
         for g in range(G):
             st = self._g[g]
             obs_dev = self._policy_obs(st["obs"], st["prev_action"])
-            _, _, v, _, _ = self._act_step(
-                params, obs_dev, st["h"], st["is_start"], self._key,
-                self._env_ids[g]
+            # bootstrap value only — the sampled action is discarded, so the
+            # base key here (fold_in at the group's current t, NOT advanced)
+            # never affects trajectories
+            _, _, v, _ = self._act_step(
+                params, obs_dev, st["h"], st["is_start"],
+                jax.random.fold_in(self._key, st["t"]), self._env_ids[g]
             )
             last_values.append(v)
         metrics = {
@@ -266,9 +279,9 @@ class HostRolloutCollector:
                 expert = self.venv.expert_actions()
             with self.timer.stage("act"):
                 obs_dev = self._policy_obs(st["obs"], st["prev_action"])
-                action, _, _, st["h"], self._key = self._act_step(
-                    params, obs_dev, st["h"], st["is_start"], self._key,
-                    self._env_ids[0]
+                action, _, _, st["h"] = self._act_step(
+                    params, obs_dev, st["h"], st["is_start"],
+                    self._step_key(st), self._env_ids[0]
                 )
                 action_host = np.asarray(action)  # blocks on the act step
             take_expert = rng.rand(self.venv.n) < beta

@@ -24,7 +24,8 @@ HID = 48
 class _TorchOracle(nn.Module):
     """allenact ResnetTensorNavActorCritic, structurally exact: module/field
     names produce the released state_dict keys (goal_visual_encoder.*,
-    state_encoders.single_belief.rnn.*, actor.linear, critic.linear)."""
+    state_encoders.single_belief.rnn.*, actor.linear, critic.fc — allenact's
+    LinearActorHead registers `linear` but LinearCriticHead registers `fc`)."""
 
     def __init__(self, c_in=C_IN, grid=G, hidden=HID):
         super().__init__()
@@ -56,13 +57,18 @@ class _TorchOracle(nn.Module):
         self.goal_visual_encoder = GoalEnc()
         self.state_encoders = nn.ModuleDict({"single_belief": RNNEnc()})
 
-        class Head(nn.Module):
-            def __init__(self, out):
+        class ActorHead(nn.Module):      # allenact LinearActorHead
+            def __init__(self):
                 super().__init__()
-                self.linear = nn.Linear(hidden, out)
+                self.linear = nn.Linear(hidden, 6)
 
-        self.actor = Head(6)
-        self.critic = Head(1)
+        class CriticHead(nn.Module):     # allenact LinearCriticHead
+            def __init__(self):
+                super().__init__()
+                self.fc = nn.Linear(hidden, 1)
+
+        self.actor = ActorHead()
+        self.critic = CriticHead()
 
     def forward(self, resnet_chw, goal, h, masks):
         # allenact semantics: hidden multiplied by masks (0 at episode start)
@@ -71,7 +77,7 @@ class _TorchOracle(nn.Module):
         out, h = self.state_encoders["single_belief"].rnn(
             x[None], h[None].contiguous())
         out = out[0]
-        return self.actor.linear(out), self.critic.linear(out)[:, 0], h[0]
+        return self.actor.linear(out), self.critic.fc(out)[:, 0], h[0]
 
 
 def _make_oracle(seed=0, **kw):
@@ -120,6 +126,60 @@ def test_converted_params_reproduce_torch_forward():
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(h_j), h_t.numpy(),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_released_key_list_fixture_converts():
+    """Fixture of the EXACT released RoboTHOR ObjectNav state_dict key list
+    and shapes (allenact ResnetTensorNavActorCritic, CLIP RN50 conv map
+    2048×7×7, add_prev_actions=False; baselines_robothor_objectnav.md:58-64).
+    Guards the converter against key-naming drift — in particular allenact's
+    critic head key is `critic.fc.*`, NOT `critic.linear.*`."""
+    from embodied_clip_tpu.models.allenact_policy import (
+        AllenActResnetPolicy, convert_allenact_state_dict,
+    )
+
+    rng = np.random.RandomState(7)
+    released_shapes = {
+        "goal_visual_encoder.embed_goal.weight": (12, 32),
+        "goal_visual_encoder.resnet_compressor.0.weight": (128, 2048, 1, 1),
+        "goal_visual_encoder.resnet_compressor.0.bias": (128,),
+        "goal_visual_encoder.resnet_compressor.2.weight": (32, 128, 1, 1),
+        "goal_visual_encoder.resnet_compressor.2.bias": (32,),
+        "goal_visual_encoder.target_obs_combiner.0.weight": (128, 64, 1, 1),
+        "goal_visual_encoder.target_obs_combiner.0.bias": (128,),
+        "goal_visual_encoder.target_obs_combiner.2.weight": (32, 128, 1, 1),
+        "goal_visual_encoder.target_obs_combiner.2.bias": (32,),
+        "state_encoders.single_belief.rnn.weight_ih_l0": (3 * 512, 32 * 49),
+        "state_encoders.single_belief.rnn.weight_hh_l0": (3 * 512, 512),
+        "state_encoders.single_belief.rnn.bias_ih_l0": (3 * 512,),
+        "state_encoders.single_belief.rnn.bias_hh_l0": (3 * 512,),
+        "actor.linear.weight": (6, 512),
+        "actor.linear.bias": (6,),
+        "critic.fc.weight": (1, 512),
+        "critic.fc.bias": (1,),
+    }
+    sd = {k: rng.randn(*s).astype(np.float32) * 0.02
+          for k, s in released_shapes.items()}
+    converted = convert_allenact_state_dict(sd, grid=7)
+    cfg = converted["config"]
+    assert cfg == dict(num_actions=6, num_goal_classes=12, goal_dims=32,
+                       compressor_dims=(128, 32), combiner_dims=(128, 32),
+                       hidden=512)
+    policy = AllenActResnetPolicy(**cfg)
+    obs = {"visual": jnp.zeros((2, 7, 7, 2048)),
+           "goal": jnp.zeros((2,), jnp.int32)}
+    lg, v, h = policy.apply({"params": converted["params"]}, obs,
+                            policy.initial_state(2), jnp.ones((2,), bool))
+    assert lg.shape == (2, 6) and v.shape == (2,) and h.shape == (2, 512)
+
+    # critic.linear.* fallback (re-exported checkpoints) still converts
+    sd_fallback = dict(sd)
+    sd_fallback["critic.linear.weight"] = sd_fallback.pop("critic.fc.weight")
+    sd_fallback["critic.linear.bias"] = sd_fallback.pop("critic.fc.bias")
+    conv2 = convert_allenact_state_dict(sd_fallback, grid=7)
+    np.testing.assert_array_equal(
+        np.asarray(conv2["params"]["critic"]["kernel"]),
+        np.asarray(converted["params"]["critic"]["kernel"]))
 
 
 def test_converter_rejects_foreign_state_dict():

@@ -10,6 +10,8 @@ Name parity with the reference runbooks:
       (baselines_habitat.md:63-75; the suffix-less forms train from scratch)
   one_phase_rgb_{clipresnet50,resnet50}_dagger
       (baselines_ithor_rearrangement.md:8-12)
+  two_phase_rgb_{clipresnet50,resnet50}_dagger
+      (walkthrough→unshuffle, baselines_ithor_rearrangement.md:4-6)
 
 Each experiment trains on one of three backends:
   fake     hermetic jittable gridworld (default; runs anywhere, incl. CI)
@@ -120,6 +122,10 @@ class NavRLExperiment(Experiment):
             from embodied_clip_tpu.envs.rearrange import GridRearrangeEnv
 
             return GridRearrangeEnv(size=8, max_steps=96)
+        if self.task == "rearrange2":
+            from embodied_clip_tpu.envs.rearrange import GridTwoPhaseRearrangeEnv
+
+            return GridTwoPhaseRearrangeEnv(size=8, max_steps=96)
         from embodied_clip_tpu.envs.gridworld import GridNavEnv
 
         class_set = None
@@ -145,6 +151,8 @@ class NavRLExperiment(Experiment):
             return "pointgoal", 2
         if self.task == "rearrange":
             return "none", 1  # goal is implicit in the observation
+        if self.task == "rearrange2":
+            return "object_embed", 1024  # the phase flag rides the embedding
         return "object_embed", 1024
 
     def _make_policy(self, num_actions: int, frame_obs: bool,
@@ -214,7 +222,7 @@ class NavRLExperiment(Experiment):
         from embodied_clip_tpu.parity import golden_frames
 
         frames = [golden_frames(n=16)]
-        if self.backend == "fake" and self.task != "rearrange" \
+        if self.backend == "fake" and not self.task.startswith("rearrange") \
                 and self.encoder is not None:
             import jax
 
@@ -249,7 +257,7 @@ class NavRLExperiment(Experiment):
         (or for the rearrange fake env, whose observations are symbolic maps)."""
         if self.encoder is None:
             return None
-        if self.backend == "fake" and self.task == "rearrange":
+        if self.backend == "fake" and self.task.startswith("rearrange"):
             return None
         import jax.numpy as jnp
 
@@ -463,11 +471,15 @@ class NavRLExperiment(Experiment):
                     for i in range(w0, w1)], (56, 56, 3)
         if self.backend == "thor":
             cf = self.controller_factory
-            if self.task == "rearrange":
-                from embodied_clip_tpu.envs.thor_rearrange import THORRearrangeEnv
+            if self.task in ("rearrange", "rearrange2"):
+                from embodied_clip_tpu.envs.thor_rearrange import (
+                    THORRearrangeEnv, THORTwoPhaseRearrangeEnv,
+                )
 
+                cls = (THORTwoPhaseRearrangeEnv if self.task == "rearrange2"
+                       else THORRearrangeEnv)
                 scenes = [f"FloorPlan{i}" for i in range(1, 21)]
-                return [lambda s=seed: THORRearrangeEnv(
+                return [lambda s=seed: cls(
                             scenes, seed=s, controller_factory=cf, **ms)
                         for seed in range(w0, w1)], (300, 300, 3)
             from embodied_clip_tpu.envs.thor import THORObjectNavEnv
@@ -546,7 +558,7 @@ class NavRLExperiment(Experiment):
             venv, venvs = pools[0], pools
         try:
             encode = self._encode_fn()
-            if self.task == "rearrange":
+            if self.task.startswith("rearrange"):
                 from embodied_clip_tpu.envs.thor_rearrange import REARRANGE_ACTIONS
 
                 num_actions = len(REARRANGE_ACTIONS)
@@ -759,7 +771,7 @@ class NavRLExperiment(Experiment):
         venv = VectorEnv(env_fns, frame_shape=frame_shape)
         try:
             encode = self._encode_fn()
-            if self.task == "rearrange":
+            if self.task.startswith("rearrange"):
                 from embodied_clip_tpu.envs.thor_rearrange import REARRANGE_ACTIONS
 
                 num_actions = len(REARRANGE_ACTIONS)
@@ -882,4 +894,11 @@ _reg("ddppo_objectnav_rgbd_imagenet", task="objectnav", encoder="imagenet_rn50",
 _reg("one_phase_rgb_clipresnet50_dagger", task="rearrange", algo="dagger",
      encoder="clip_rn50")
 _reg("one_phase_rgb_resnet50_dagger", task="rearrange", algo="dagger",
+     encoder="imagenet_rn50")
+# iTHOR Rearrangement 2-phase (walkthrough→unshuffle from memory) — the
+# rearrangement branch's other documented task configuration
+# (baselines_ithor_rearrangement.md:4-6; the released models are 1-phase only).
+_reg("two_phase_rgb_clipresnet50_dagger", task="rearrange2", algo="dagger",
+     encoder="clip_rn50")
+_reg("two_phase_rgb_resnet50_dagger", task="rearrange2", algo="dagger",
      encoder="imagenet_rn50")

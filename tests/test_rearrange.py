@@ -64,3 +64,71 @@ def test_rearrange_dagger_learns():
         params, opt, act, m = learner.train_iteration(params, opt, act, it)
     assert float(m["beta"]) == 0.0
     assert float(m["success"]) > 0.3, float(m["success"])
+
+
+# ---------------------------------------------------------------- 2-phase env
+
+
+def test_two_phase_walkthrough_then_unshuffle():
+    """Phase semantics: walkthrough shows object ON the goal (goal channel
+    lit), interactions are inert; Drop ends the phase — the object teleports
+    off the goal, the goal channel goes dark, and the phase flag flips."""
+    from embodied_clip_tpu.envs.rearrange import GridTwoPhaseRearrangeEnv
+
+    env = GridTwoPhaseRearrangeEnv(size=6, max_steps=96, walkthrough_budget=24)
+    state, obs = env.reset(jax.random.PRNGKey(0), 8)
+    assert (np.asarray(state.phase) == 0).all()
+    assert (np.asarray(obs["goal"]) == 0).all()
+    np.testing.assert_array_equal(np.asarray(state.obj_pos),
+                                  np.asarray(state.goal_pos))
+    assert np.asarray(obs["visual"])[..., 2].sum() > 0  # goal channel lit
+
+    # Pickup is inert during the walkthrough
+    state2, _, r, done, _ = jax.jit(env.step)(
+        state.replace(agent_pos=state.obj_pos),
+        jnp.full((8,), PICKUP, jnp.int32))
+    assert not bool(state2.holding.any())
+    assert not bool(done.any())
+    np.testing.assert_allclose(np.asarray(r), 0.0)  # walkthrough unrewarded
+
+    # Drop ends the walkthrough
+    state3, obs3, _, done, _ = jax.jit(env.step)(
+        state2, jnp.full((8,), DROP, jnp.int32))
+    assert (np.asarray(state3.phase) == 1).all()
+    assert (np.asarray(obs3["goal"]) == 1).all()
+    assert not bool(done.any())
+    # goal channel is dark in the unshuffle phase
+    assert np.asarray(obs3["visual"])[..., 2].sum() == 0.0
+
+
+def test_two_phase_budget_forces_switch():
+    from embodied_clip_tpu.envs.rearrange import (
+        MOVE_AHEAD, GridTwoPhaseRearrangeEnv,
+    )
+
+    env = GridTwoPhaseRearrangeEnv(size=6, walkthrough_budget=3)
+    state, _ = env.reset(jax.random.PRNGKey(2), 4)
+    for _ in range(3):
+        state, obs, _, _, _ = jax.jit(env.step)(
+            state, jnp.full((4,), MOVE_AHEAD, jnp.int32))
+    assert (np.asarray(state.phase) == 1).all()
+
+
+def test_two_phase_expert_solves():
+    from embodied_clip_tpu.envs.rearrange import GridTwoPhaseRearrangeEnv
+
+    env = GridTwoPhaseRearrangeEnv(size=6, max_steps=96)
+    state, _ = env.reset(jax.random.PRNGKey(3), 16)
+
+    @jax.jit
+    def run(state):
+        def step(st, _):
+            a = env.expert_action(st)
+            st, _, _, done, info = env.step(st, a)
+            return st, (done, info["success"])
+        return jax.lax.scan(step, state, None, length=97)
+
+    _, (done, success) = run(state)
+    done, success = np.asarray(done), np.asarray(success)
+    assert done.any(axis=0).all()
+    np.testing.assert_allclose(success[done.astype(bool)], 1.0)

@@ -108,3 +108,87 @@ def test_open_close_only_episode():
         if done:
             break
     assert info["success"] == 1.0, info
+
+
+# ------------------------------------------------------------ 2-phase adapter
+
+
+def make_two_phase(**kw):
+    from embodied_clip_tpu.envs.thor_rearrange import THORTwoPhaseRearrangeEnv
+
+    defaults = dict(
+        scenes=["FakeScene_1"], controller_factory=FakeController,
+        num_misplaced=2, num_toggled_open=1, max_steps=120,
+        visibility_distance=1.5, seed=5, walkthrough_budget=20,
+    )
+    defaults.update(kw)
+    return THORTwoPhaseRearrangeEnv(**defaults)
+
+
+def test_two_phase_walkthrough_observes_goal_scene():
+    env = make_two_phase()
+    obs = env.reset()
+    # single controller, no simultaneous goal view — the phase flag instead
+    assert env.goal_controller is None
+    assert "goal_visual" not in obs
+    assert int(obs["goal"]) == 0
+    # nothing was shuffled yet: the scene IS the goal configuration
+    calls = [c for c, _ in env.controller.calls]
+    assert "SetObjectPoses" not in calls
+    assert all(env._in_goal_pose(o) for o in env._objects())
+
+
+def test_two_phase_done_switches_to_unshuffle():
+    env = make_two_phase()
+    env.reset()
+    obs, r, done, info = env.step(DONE)
+    assert not done and r == 0.0 and info == {}
+    assert int(obs["goal"]) == 1
+    # the shuffle happened at the phase switch
+    calls = [c for c, _ in env.controller.calls]
+    assert "SetObjectPoses" in calls
+    assert len(env._episode["start_misplaced"]) >= 1
+    # Done in phase 1 now ends the episode (unsolved)
+    _, _, done, info = env.step(DONE)
+    assert done and info["success"] == 0.0
+
+
+def test_two_phase_budget_forces_switch():
+    env = make_two_phase(walkthrough_budget=4)
+    env.reset()
+    ahead = REARRANGE_ACTIONS.index("MoveAhead")
+    for _ in range(4):
+        obs, _, done, _ = env.step(ahead)
+        assert not done
+    assert int(obs["goal"]) == 1
+
+
+def test_two_phase_interactions_inert_in_walkthrough():
+    env = make_two_phase()
+    env.reset()
+    snapshot = {o["objectId"]: (dict(o["position"]), bool(o.get("isOpen", False)))
+                for o in env._objects()}
+    for name in ("PickupMisplaced", "PutHeld", "OpenTarget", "CloseTarget"):
+        env.step(REARRANGE_ACTIONS.index(name))
+    assert env._episode["held"] is None
+    now = {o["objectId"]: (dict(o["position"]), bool(o.get("isOpen", False)))
+           for o in env._objects()}
+    assert now == snapshot, "walkthrough interactions must not touch the scene"
+    assert int(env._episode["phase"]) == 0
+
+
+def test_two_phase_expert_restores_scene():
+    env = make_two_phase(seed=11)
+    env.reset()
+    # expert ends the walkthrough immediately
+    assert REARRANGE_ACTIONS[env.expert_action()] == "Done"
+    info, done = {}, False
+    for _ in range(env.max_steps + env.walkthrough_budget + 2):
+        a = env.expert_action()
+        _, _, done, info = env.step(a)
+        if done:
+            break
+    assert done, "expert never finished"
+    assert info["success"] == 1.0, info
+    assert info["prop_fixed"] == 1.0
+    assert info["num_newly_misplaced"] == 0.0

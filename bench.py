@@ -37,8 +37,10 @@ def main():
     # min-over-reps removes tunnel/host interference from the slope estimate;
     # measured process-to-process spread on the IDENTICAL graph is ±3%
     # (14.20-15.16k frames/s across a day, STATUS.md round-4 log), so more
-    # reps = a tighter lower bound on the machine's true throughput.
-    reps = int(os.environ.get("BENCH_REPS", "6"))
+    # reps = a tighter lower bound on the machine's true throughput. The JSON
+    # also reports the per-rep spread so a reader of BENCH_r*.json can see
+    # how much of the gap to the 15k target is tunnel-host noise.
+    reps = int(os.environ.get("BENCH_REPS", "12"))
     model = os.environ.get("BENCH_MODEL", "clip_rn50")  # any ENCODER_SPECS name
 
     # int8 trunk is the default serving configuration: full-size RN50 cosine vs f32
@@ -99,13 +101,21 @@ def main():
         _drain(out)
         return time.perf_counter() - t0
 
-    per_iter = min((run(n2) - run(n1)) / (n2 - n1) for _ in range(reps))
-    fps = batch / per_iter
+    slopes = [(run(n2) - run(n1)) / (n2 - n1) for _ in range(reps)]
+    fps_reps = sorted(batch / s for s in slopes)
+    fps = fps_reps[-1]  # min-over-reps slope = the least-interfered estimate
     result = {
         "metric": f"{model}_encode_frames_per_sec_per_chip",
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / 15000.0, 3),
+        # per-rep spread on the IDENTICAL compiled graph in this process —
+        # the tunnel host's load moves single-rep readings by ±3% (the same
+        # graph has measured 15,157 f/s on a quiet host; STATUS.md r4 log),
+        # so the spread tells a reader how environment-bound `value` is.
+        "spread": [round(fps_reps[0], 1), round(fps_reps[-1], 1)],
+        "median": round(fps_reps[len(fps_reps) // 2], 1),
+        "reps": reps,
     }
     if os.environ.get("BENCH_STAGED", "0") == "1":
         run_staged(2)  # warm the staged-path program/transfer machinery

@@ -175,7 +175,13 @@ class FrozenEncoder:
                 fn = self._jit_for(False)
             else:
                 kw = {"in_shardings": (None, fmt)} if flat else {}
-                fn = jax.jit(self._encode_impl,
+                # A fresh closure per flag key: bound methods of one instance
+                # compare EQUAL, so jit wrappers around self._encode_impl
+                # would share a single trace cache and the first-traced flag
+                # set would shadow every other (the flags are read inside
+                # _encode_impl at trace time).
+                impl = lambda variables, frames: self._encode_impl(variables, frames)  # noqa: E731
+                fn = jax.jit(impl,
                              compiler_options=_xla_serving_options(), **kw)
             self._jits[key] = fn
         return fn
@@ -348,11 +354,23 @@ class _QuantizedCLIPEncoder(FrozenEncoder):
         v = os.environ.get("ECT_INT8_STEM", "off")
         return {"0": "off", "1": "full"}.get(v, v)
 
+    @staticmethod
+    def _use_int4_stage1() -> int:
+        """ECT_INT4_STAGE1 stores stage-1's cross-fusion activations as S4
+        (1 = all, 2 = only the 256-wide block-output/shortcut tensors),
+        widened to s8 at each consumer. Measured a LARGE NEGATIVE on this
+        runtime (STATUS.md round-5 log): XLA TPU scalarizes S4 stores — a
+        materialized S4 tensor costs ~20x an s8 one, not half. Kept
+        flag-gated with numerics pinned so the path isn't re-walked."""
+        import os
+
+        return int(os.environ.get("ECT_INT4_STAGE1", "0"))
+
     def _flag_key(self) -> tuple:
         return super()._flag_key() + (
             self._use_pallas_stage1(), self._use_pallas_resblocks(),
             self._use_pallas_stem(), self._use_int8_stem(),
-            self._use_fuse_pointwise())
+            self._use_fuse_pointwise(), self._use_int4_stage1())
 
     def _encode_impl(self, variables, frames):
         from embodied_clip_tpu.ops.quantize import quantized_trunk_apply
@@ -364,7 +382,8 @@ class _QuantizedCLIPEncoder(FrozenEncoder):
                                      pallas_resblocks=self._use_pallas_resblocks(),
                                      pallas_stem=self._use_pallas_stem(),
                                      int8_stem=self._use_int8_stem(),
-                                     fuse_pointwise=self._use_fuse_pointwise())
+                                     fuse_pointwise=self._use_fuse_pointwise(),
+                                     int4_stage1=self._use_int4_stage1())
         avg = jnp.mean(conv.astype(jnp.float32), axis=(1, 2)).astype(conv.dtype)
         embed = self._attnpool.apply({"params": variables["attnpool"]}, conv)
         out = {"clip_conv": conv, "clip_avgpool": avg, "clip_attnpool": embed}

@@ -122,6 +122,34 @@ def _requant_signed(x_f32, a_scale):
     return jnp.clip(y, -_QMAX, _QMAX).astype(jnp.int8)
 
 
+_QMAX4 = 7.0
+
+
+def _requant_u4(x_f32, a_scale8):
+    """f32 (post-relu) → s4 on a widened grid (scale4 = scale8 · 127/7, i.e.
+    the SAME calibrated max, 4-bit resolution). Returns (q4, scale4). The
+    int4-stage-1 experiment (VERDICT r4 next #1a): stage 1 is HBM-traffic-
+    bound, so s4 storage would halve its dominant cost IF XLA stores S4
+    packed — see STATUS.md round-5 log for the measured answer."""
+    s4 = jnp.asarray(a_scale8, jnp.float32) * (_QMAX / _QMAX4)
+    q = jnp.clip(_unscale(x_f32, s4) + 0.5, 0.0, _QMAX4).astype(jnp.int4)
+    return q, s4
+
+
+def _requant_s4(x_f32, a_scale8):
+    """Signed s4 variant (shortcut outputs span both signs)."""
+    s4 = jnp.asarray(a_scale8, jnp.float32) * (_QMAX / _QMAX4)
+    y = _unscale(x_f32, s4)
+    y = jnp.where(y >= 0, y + 0.5, y - 0.5)
+    return jnp.clip(y, -_QMAX4, _QMAX4).astype(jnp.int4), s4
+
+
+def _as_s8(t):
+    """Widen an s4 tensor to s8 at its consumer (the convert fuses into the
+    consuming dot/pool fusion; Mosaic/XLA emit no native s4 dots)."""
+    return t.astype(jnp.int8) if t.dtype == jnp.int4 else t
+
+
 def _block_names(stage_sizes: Sequence[int]):
     for stage, n in enumerate(stage_sizes):
         for b in range(n):
@@ -355,7 +383,8 @@ def quantized_trunk_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
                           pallas_resblocks: bool = False,
                           pallas_stem: bool = False,
                           int8_stem: str = "off",
-                          fuse_pointwise: int = 0):
+                          fuse_pointwise: int = 0,
+                          int4_stage1: int = 0):
     """int8 trunk forward: x is the preprocessed image batch (f32/bf16 NHWC).
     Returns the conv feature map in out_dtype. pallas_stage1 runs stage 1
     through the fused int8 Pallas kernel (not a win on this runtime — see
@@ -371,9 +400,15 @@ def quantized_trunk_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
     pairs at width 2048: 12,810 vs 14,488 frames/s — XLA relayout-pads the
     7x7 int8 tiles to 32 sublanes at the pallas boundary; STATUS.md round-4
     log). Mutually exclusive with pallas_resblocks, which owns those blocks
-    wholesale."""
+    wholesale. int4_stage1 stores stage-1's cross-fusion activations as S4
+    (1 = all of them, 2 = only the 256-wide block-output/shortcut tensors),
+    widened to s8 at each consumer — the VERDICT r4 traffic lever; measured
+    a LARGE NEGATIVE (see STATUS.md round-5: XLA scalarizes S4 stores, a
+    materialized S4 tensor is ~20x slower than s8, not 2x cheaper)."""
     a = q["act_scales"]
     fuse_pointwise = 0 if pallas_resblocks else fuse_pointwise
+    if pallas_stage1 or pallas_resblocks or fuse_pointwise:
+        int4_stage1 = 0  # the pallas paths own those tensors wholesale
 
     def fp_conv(name, t, stride=1, relu=True):
         sub = q["fp"][name]["conv"]
@@ -396,7 +431,9 @@ def quantized_trunk_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
     def qconv(sub, t8, in_scale):
         """int8 conv → f32 (bias added); caller fuses the rest of the epilogue.
         1×1 kernels go through einsum (dot_general): measurably faster than the
-        conv emitter for this net's small-channel 1×1s."""
+        conv emitter for this net's small-channel 1×1s. s4 inputs widen to s8
+        here (the convert fuses into the dot's operand read)."""
+        t8 = _as_s8(t8)
         k = sub["kernel_q"]
         if k.shape[0] == 1 and k.shape[1] == 1:
             out = jnp.einsum("nhwc,cd->nhwd", t8, k[0, 0],
@@ -499,19 +536,31 @@ def quantized_trunk_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
             i += run
             continue
 
+        # int4-stage-1 experiment: narrow4 covers the 64-wide cb2/cb3 inputs,
+        # wide4 the 256-wide block-output/shortcut tensors (VERDICT r4 #1a).
+        in_stage1 = name.startswith("layer1_")
+        narrow4 = int4_stage1 == 1 and in_stage1
+        wide4 = int4_stage1 in (1, 2) and in_stage1
+
         # cb1/cb2 relus fold into the next _requant's clip-at-0 lower bound
         # (bit-identical on the int8 grid; one fewer VPU pass per conv epilogue).
-        if q1_carry is None:
-            q18 = _requant(qconv(q[f"{name}/cb1"], t8, s_in),
-                           a[f"{name}/cb2.in"])
-        else:
+        if q1_carry is not None:
             q18, q1_carry = q1_carry, None
-        s2 = a[f"{name}/cb2.in"]
+            s2 = a[f"{name}/cb2.in"]
+        elif narrow4:
+            q18, s2 = _requant_u4(qconv(q[f"{name}/cb1"], t8, s_in),
+                                  a[f"{name}/cb2.in"])
+        else:
+            s2 = a[f"{name}/cb2.in"]
+            q18 = _requant(qconv(q[f"{name}/cb1"], t8, s_in), s2)
         o = qconv(q[f"{name}/cb2"], q18, s2)
-        s3 = a[f"{name}/cb3.in"]
-        o8 = _requant(o, s3)  # pre-pool for stride blocks: cb2's epilogue fuses
+        if narrow4:
+            o8, s3 = _requant_u4(o, a[f"{name}/cb3.in"])
+        else:
+            s3 = a[f"{name}/cb3.in"]
+            o8 = _requant(o, s3)  # pre-pool for stride blocks: cb2's epilogue fuses
         if stride > 1:
-            o8 = _avg_pool_int8(o8, stride)
+            o8 = _avg_pool_int8(_as_s8(o8), stride)
 
         if f"{name}/down" in q["fp"]:
             # Identity path traffic runs on the int8 grid end-to-end: pool the
@@ -520,11 +569,14 @@ def quantized_trunk_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
             # calibration) so the residual tensor crossing to the cb3 fusion is
             # s8 instead of bf16 — the conv itself stays bf16 (int8 shortcut
             # convs regress: STATUS.md round-2 log).
-            idsrc = _avg_pool_int8(t8, stride) if stride > 1 else t8
+            idsrc = _avg_pool_int8(_as_s8(t8), stride) if stride > 1 else t8
             down = fp_conv(f"{name}/down",
                            idsrc.astype(jnp.float32) * s_in, relu=False)
-            r_res = a[f"{name}/down.out"]
-            id8 = _requant_signed(down, r_res)
+            if wide4:
+                id8, r_res = _requant_s4(down, a[f"{name}/down.out"])
+            else:
+                r_res = a[f"{name}/down.out"]
+                id8 = _requant_signed(down, r_res)
         else:
             id8, r_res = t8, s_in
 
@@ -546,12 +598,15 @@ def quantized_trunk_apply(q: Dict[str, Any], x, stage_sizes: Sequence[int],
         if is_last:
             # conv map output: no final requant round-trip
             return nn.relu(o + identity).astype(out_dtype)
-        s_in = a[f"{name}.out"]
         # No explicit relu: _requant's clip-at-0 lower bound IS the relu on the
         # int8 grid (bit-identical: negative sums land at 0 either way), and one
         # fewer elementwise pass over the f32 pre-residual tensor matters on an
         # emitter that serializes VPU phases.
-        t8 = _requant(o + identity, s_in)
+        if wide4:
+            t8, s_in = _requant_u4(o + identity, a[f"{name}.out"])
+        else:
+            s_in = a[f"{name}.out"]
+            t8 = _requant(o + identity, s_in)
         i += 1
 
 

@@ -145,4 +145,50 @@ class StepCheckpointer:
         step = self.latest_step()
         if step is None:
             return None, None
-        return step, restore_pytree(self._path(step), target)
+        path = self._path(step)
+        try:
+            state = restore_pytree(path, target)
+        except Exception as e:
+            # orbax raises its own (opaque) structure errors when the stored
+            # tree doesn't match the template — translate to the actionable
+            # message.
+            raise ValueError(
+                f"checkpoint {path} does not match this experiment's "
+                "train-state tree: the output dir holds a checkpoint from a "
+                "different experiment config — use a fresh output dir (or "
+                f"pass the old checkpoint explicitly via --ckpt). [{e}]"
+            ) from e
+        if target is not None:
+            # Resume-on-restart contract: the checkpoint must be THIS
+            # experiment's train state. A reused output dir holding another
+            # config's checkpoints otherwise restores mismatched arrays that
+            # only blow up later, deep inside a jitted rollout trace, as an
+            # inscrutable flax shape error.
+            _check_matches_template(target, state, path)
+        return step, state
+
+
+def _check_matches_template(template: Any, restored: Any, path: str) -> None:
+    flat_t = jax.tree_util.tree_flatten_with_path(template)[0]
+    flat_r = jax.tree_util.tree_flatten_with_path(restored)[0]
+    if len(flat_t) != len(flat_r):
+        raise ValueError(
+            f"checkpoint {path} has {len(flat_r)} leaves, expected "
+            f"{len(flat_t)}: the output dir holds a checkpoint from a "
+            "different experiment config — use a fresh output dir (or pass "
+            "the old checkpoint explicitly via --ckpt)")
+    import numpy as np
+
+    for (pt, t), (pr, v) in zip(flat_t, flat_r):
+        st, sr = _path_str(pt), _path_str(pr)
+        if st != sr:
+            raise ValueError(
+                f"checkpoint {path} diverges at leaf '{sr}' (expected '{st}') "
+                "— the output dir holds a checkpoint from a different "
+                "experiment config; use a fresh output dir")
+        if np.shape(v) != np.shape(t):
+            raise ValueError(
+                f"checkpoint {path} leaf '{st}' has shape {np.shape(v)}, "
+                f"expected {np.shape(t)} — the output dir holds a checkpoint "
+                "from a different experiment config (e.g. another encoder); "
+                "use a fresh output dir")

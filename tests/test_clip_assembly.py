@@ -1,6 +1,7 @@
 """Full CLIP assembly: contrastive logits, text tower wiring, zero-shot matching."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +23,7 @@ def _tiny_clip():
     return clip_mod.build_clip("TinyViT", context_length=12)
 
 
+@pytest.mark.slow
 def test_contrastive_logits_shape_and_symmetry():
     built = _tiny_clip()
     imgs = jnp.asarray(np.random.RandomState(0).rand(3, 32, 32, 3), jnp.float32)

@@ -8,6 +8,7 @@ import jax.numpy as jnp
 from embodied_clip_tpu.models.encoders import build_encoder
 
 
+@pytest.mark.slow
 def test_imagenet_rn18_encoder():
     enc = build_encoder("imagenet_rn18")
     frames = np.random.RandomState(0).randint(0, 256, (2, 300, 300, 3), np.uint8)

@@ -60,6 +60,7 @@ def test_expert_actions_survive_worker_death():
         venv.close()
 
 
+@pytest.mark.slow
 def test_host_dagger_trains_on_rearrange_pool():
     venv = VectorEnv([_env_fn(10 + i) for i in range(4)], frame_shape=(64, 64, 3))
     try:

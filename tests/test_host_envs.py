@@ -412,6 +412,7 @@ def test_straggler_cutoff_no_desync():
         venv.close()
 
 
+@pytest.mark.slow
 def test_host_learner_publishes_stage_timing_metrics(tmp_path):
     """SURVEY.md §5 tracing row: per-stage timers (act / env_step / update) and
     env-steps/s are first-class trainer metrics, logged to TensorBoard."""
@@ -487,6 +488,7 @@ def test_pipelined_host_rollout_collection():
         venv_b.close()
 
 
+@pytest.mark.slow
 def test_hostgrid_pipeline_groups_trains(tmp_path):
     """pipeline_groups=2 splits the worker pool into two software-pipelined
     VectorEnvs end-to-end through NavRLExperiment."""

@@ -71,6 +71,7 @@ def test_thor_backend_eval_runs_on_simulator(tmp_path, monkeypatch):
     assert all(e["ep_length"] > 0 for e in eps)
 
 
+@pytest.mark.slow
 def test_hostgrid_backend_eval_delivers_episodes(tmp_path):
     """The host eval loop also serves the hostgrid backend (no fixture needed):
     train a scratch policy there, then checkpoint-eval with full episode
@@ -89,6 +90,7 @@ def test_hostgrid_backend_eval_delivers_episodes(tmp_path):
     assert np.isfinite(out["spl"])
 
 
+@pytest.mark.slow
 def test_scratch_config_ckpt_transfers_to_host_eval(tmp_path):
     """A fake-trained SCRATCH config (trainable ScratchCNN on pixels, no frozen
     encoder) restores into the host-backend eval policy: the fake env renders

@@ -97,3 +97,25 @@ def test_fuse_pointwise_bit_exact(encs, monkeypatch):
     for k in ref:
         np.testing.assert_array_equal(np.asarray(ref[k], np.float32),
                                       np.asarray(out[k], np.float32), k)
+
+def test_int4_stage1_variants_change_graph(encs, monkeypatch):
+    """ECT_INT4_STAGE1 (VERDICT r4 next #1a) stores stage-1's cross-fusion
+    activations as S4. Measured a LARGE NEGATIVE on v5e (STATUS.md round-5:
+    XLA scalarizes S4 stores — ~20x the cost of s8, and the real graph
+    regressed accordingly), and the 4-bit grid costs real fidelity. This pins
+    the variants: they genuinely retrace (distinct outputs from the default
+    graph) and stay within the coarse-grid error envelope."""
+    enc, qenc, frames = encs
+    ref = enc.encode(frames)
+    base = qenc.encode(frames)
+    for variant in ("2", "1"):
+        monkeypatch.setenv("ECT_INT4_STAGE1", variant)
+        out = qenc.encode(frames)
+        changed = float(np.max(np.abs(
+            np.asarray(out["clip_conv"], np.float32)
+            - np.asarray(base["clip_conv"], np.float32))))
+        assert changed > 0.0, f"variant {variant} did not retrace"
+        for k in ref:
+            d = cosine_distance(np.asarray(ref[k], np.float32),
+                                np.asarray(out[k], np.float32))
+            assert d < 5e-2, (variant, k, d)

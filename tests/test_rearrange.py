@@ -30,6 +30,7 @@ def test_rearrange_expert_solves():
     np.testing.assert_allclose(success[done.astype(bool)], 1.0)
 
 
+@pytest.mark.slow
 def test_rearrange_pickup_drop_semantics():
     env = GridRearrangeEnv(size=6, success_dist=1)
     state, obs = env.reset(jax.random.PRNGKey(1), 4)

@@ -116,6 +116,7 @@ def test_ddppo_conv_policy_step_runs():
     assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.slow
 def test_pointnav_fake_env_and_policy():
     env = GridNavEnv(size=6, max_steps=24, flat_obs=True, task="pointnav")
     _, obs = env.reset(jax.random.PRNGKey(0), 4)
@@ -131,6 +132,7 @@ def test_pointnav_fake_env_and_policy():
     assert float(m["success"]) > 0.4, float(m["success"])
 
 
+@pytest.mark.slow
 def test_frame_obs_encoder_in_rollout():
     """Frames-mode env + in-graph encode_fn: the frozen-encoder-in-the-rollout path
     runs fully on device (a tiny stand-in encoder keeps the CPU test fast)."""
@@ -153,6 +155,7 @@ def test_frame_obs_encoder_in_rollout():
     assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.slow
 def test_training_determinism_same_seed():
     """Framework determinism (reference seed_everything contract): identical seeds
     produce bitwise-identical training trajectories on CPU."""

@@ -7,8 +7,12 @@ allenact v0.5.0's `ResnetTensorNavActorCritic` — a DIFFERENT architecture from
 this repo's native `ActorCritic` (which is a declared functional equivalent,
 not a weight-compatible clone): the allenact model tiles the goal embedding
 over the 7×7 frozen-CLIP conv grid and fuses it with 1×1 convs BEFORE
-flattening, has no previous-action input (the released ObjectNav configs train
-with `add_prev_actions=False`), and runs a torch `nn.GRU` belief encoder.
+flattening, and runs a torch `nn.GRU` belief encoder. The released ObjectNav
+configs train with `add_prev_actions=False`; checkpoints trained WITH it are
+also supported (a `prev_action_embedder.fc` embedding whose output appends to
+the GRU input after the visual features — allenact's FeatureEmbedding indexes
+row 0 at episode starts and `action+1` otherwise, which this module derives
+from the framework's prev-action sentinel `num_actions`).
 
 This module is a flax functional equivalent of that released architecture with
 a 1:1 parameter mapping, so the published state_dicts load exactly:
@@ -64,11 +68,18 @@ class AllenActResnetPolicy(nn.Module):
     compressor_dims: Tuple[int, int] = (128, 32)
     combiner_dims: Tuple[int, int] = (128, 32)
     hidden: int = 512
+    prev_action_embed_dims: int = 0  # >0 only for add_prev_actions checkpoints
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.embed_goal = nn.Embed(self.num_goal_classes, self.goal_dims,
                                    dtype=self.dtype)
+        if self.prev_action_embed_dims:
+            # allenact FeatureEmbedding: nn.Embedding(n_actions+1, E); row 0
+            # is the episode-start null, row a+1 embeds action a.
+            self.embed_prev_action = nn.Embed(
+                self.num_actions + 1, self.prev_action_embed_dims,
+                dtype=self.dtype)
         c1, c2 = self.compressor_dims
         k1, k2 = self.combiner_dims
         conv = lambda f, name: nn.Conv(f, (1, 1), dtype=self.dtype, name=name)
@@ -89,7 +100,15 @@ class AllenActResnetPolicy(nn.Module):
         # channel order [compressed, goal] matches torch's cat(dim=1)
         x = self.combine2(nn.relu(self.combine1(
             jnp.concatenate([x, g], axis=-1))))
-        return x.reshape(x.shape[0], -1)              # HWC-flat (see converter)
+        flat = x.reshape(x.shape[0], -1)              # HWC-flat (see converter)
+        if self.prev_action_embed_dims:
+            # framework sentinel (prev_action == num_actions at episode start
+            # / worker respawn) -> allenact's null row 0; action a -> row a+1.
+            pa = obs["prev_action"].astype(jnp.int32)
+            idx = jnp.where(pa >= self.num_actions, 0, pa + 1)
+            flat = jnp.concatenate(
+                [flat, self.embed_prev_action(idx).astype(flat.dtype)], -1)
+        return flat
 
     def __call__(self, obs: Dict[str, jnp.ndarray], h: jnp.ndarray,
                  done: Optional[jnp.ndarray] = None):
@@ -166,11 +185,11 @@ def convert_allenact_state_dict(state_dict: Dict[str, "np.ndarray"],
         raise ValueError(
             f"state_dict is not a ResnetTensorNavActorCritic checkpoint — "
             f"missing keys {missing[:4]}{'…' if len(missing) > 4 else ''}")
-    if any(k.startswith("prev_action_embedder") and sd[k].size
-           for k in sd):
-        raise ValueError(
-            "checkpoint was trained with add_prev_actions=True; the released "
-            "ObjectNav models don't use it and this converter doesn't map it")
+    # add_prev_actions=True checkpoints carry a FeatureEmbedding
+    # (prev_action_embedder.fc: nn.Embedding(num_actions+1, E)) whose output
+    # torch-cats AFTER the visual features on the GRU input.
+    pa_w = sd.get("prev_action_embedder.fc.weight")
+    pa_dims = int(pa_w.shape[1]) if pa_w is not None and pa_w.size else 0
 
     wih = sd["state_encoders.single_belief.rnn.weight_ih_l0"]  # (3H, F)
     whh = sd["state_encoders.single_belief.rnn.weight_hh_l0"]  # (3H, H)
@@ -179,12 +198,16 @@ def convert_allenact_state_dict(state_dict: Dict[str, "np.ndarray"],
     hidden = whh.shape[1]
     feat = wih.shape[1]
     combiner_out = sd[f"{pre}target_obs_combiner.2.weight"].shape[0]
-    if feat != combiner_out * grid * grid:
+    vis_cols = combiner_out * grid * grid
+    if feat != vis_cols + pa_dims:
         raise ValueError(
-            f"GRU input width {feat} != combiner_out*grid² "
-            f"{combiner_out}*{grid}² — wrong grid for this checkpoint")
-    # torch CHW flatten -> our HWC flatten: permute input-weight columns
-    perm = _chw_to_hwc_perm(combiner_out, grid)
+            f"GRU input width {feat} != combiner_out*grid² + prev_action_dims "
+            f"({combiner_out}*{grid}² + {pa_dims}) — wrong grid for this "
+            "checkpoint")
+    # torch CHW flatten -> our HWC flatten: permute the visual input-weight
+    # columns; prev-action embed columns (if any) follow in order either way.
+    perm = np.concatenate([_chw_to_hwc_perm(combiner_out, grid),
+                           np.arange(vis_cols, feat)])
     w_r, w_z, w_n = (w[:, perm] for w in np.split(wih, 3, axis=0))
     h_r, h_z, h_n = np.split(whh, 3, axis=0)
     bi_r, bi_z, bi_n = np.split(bih, 3)
@@ -214,6 +237,12 @@ def convert_allenact_state_dict(state_dict: Dict[str, "np.ndarray"],
         "critic": {"kernel": sd[f"{critic_key}.weight"].T,
                    "bias": sd[f"{critic_key}.bias"]},
     }
+    if pa_dims:
+        if pa_w.shape[0] != sd["actor.linear.weight"].shape[0] + 1:
+            raise ValueError(
+                f"prev_action_embedder rows {pa_w.shape[0]} != num_actions+1 "
+                f"({sd['actor.linear.weight'].shape[0]}+1)")
+        params["embed_prev_action"] = {"embedding": pa_w}
     meta = dict(
         num_actions=int(sd["actor.linear.weight"].shape[0]),
         num_goal_classes=int(sd[f"{pre}embed_goal.weight"].shape[0]),
@@ -223,6 +252,7 @@ def convert_allenact_state_dict(state_dict: Dict[str, "np.ndarray"],
         combiner_dims=(int(sd[f"{pre}target_obs_combiner.0.weight"].shape[0]),
                        int(sd[f"{pre}target_obs_combiner.2.weight"].shape[0])),
         hidden=int(hidden),
+        prev_action_embed_dims=pa_dims,
     )
     params = jax.tree.map(jnp.asarray, params)
     return {"params": params, "config": meta}

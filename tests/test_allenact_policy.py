@@ -27,9 +27,10 @@ class _TorchOracle(nn.Module):
     state_encoders.single_belief.rnn.*, actor.linear, critic.fc — allenact's
     LinearActorHead registers `linear` but LinearCriticHead registers `fc`)."""
 
-    def __init__(self, c_in=C_IN, grid=G, hidden=HID):
+    def __init__(self, c_in=C_IN, grid=G, hidden=HID, prev_action_dims=0):
         super().__init__()
         goal_dims, hid1, hid2, k1, k2 = 32, 96, 32, 80, 32
+        self._prev_action_dims = prev_action_dims
 
         class GoalEnc(nn.Module):
             def __init__(self):
@@ -52,10 +53,19 @@ class _TorchOracle(nn.Module):
         class RNNEnc(nn.Module):
             def __init__(self):
                 super().__init__()
-                self.rnn = nn.GRU(k2 * grid * grid, hidden, 1)
+                self.rnn = nn.GRU(k2 * grid * grid + prev_action_dims,
+                                  hidden, 1)
 
         self.goal_visual_encoder = GoalEnc()
         self.state_encoders = nn.ModuleDict({"single_belief": RNNEnc()})
+
+        if prev_action_dims:
+            class PrevActionEmbedder(nn.Module):  # allenact FeatureEmbedding
+                def __init__(self):
+                    super().__init__()
+                    self.fc = nn.Embedding(6 + 1, prev_action_dims)
+
+            self.prev_action_embedder = PrevActionEmbedder()
 
         class ActorHead(nn.Module):      # allenact LinearActorHead
             def __init__(self):
@@ -70,10 +80,15 @@ class _TorchOracle(nn.Module):
         self.actor = ActorHead()
         self.critic = CriticHead()
 
-    def forward(self, resnet_chw, goal, h, masks):
+    def forward(self, resnet_chw, goal, h, masks, prev_actions=None):
         # allenact semantics: hidden multiplied by masks (0 at episode start)
         h = h * masks
         x = self.goal_visual_encoder(resnet_chw, goal)
+        if self._prev_action_dims:
+            # allenact visual_nav_models: index 0 where masks==0, else a+1
+            idx = torch.where(masks[:, 0] != 0, prev_actions + 1,
+                              torch.zeros_like(prev_actions))
+            x = torch.cat([x, self.prev_action_embedder.fc(idx)], dim=-1)
         out, h = self.state_encoders["single_belief"].rnn(
             x[None], h[None].contiguous())
         out = out[0]
@@ -128,6 +143,58 @@ def test_converted_params_reproduce_torch_forward():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_converted_prev_action_checkpoint_reproduces_torch_forward():
+    """add_prev_actions=True checkpoints (prev_action_embedder.fc appended to
+    the GRU input after the visual features) convert and reproduce the torch
+    forward. The framework's prev-action sentinel (num_actions at episode
+    start) must map to allenact's null row 0, and action a to row a+1."""
+    from embodied_clip_tpu.models.allenact_policy import (
+        AllenActResnetPolicy, convert_allenact_state_dict,
+    )
+
+    E = 8
+    oracle = _make_oracle(seed=11, prev_action_dims=E)
+    converted = convert_allenact_state_dict(oracle.state_dict(), grid=G)
+    assert converted["config"]["prev_action_embed_dims"] == E
+    policy = AllenActResnetPolicy(**converted["config"])
+
+    rng = np.random.RandomState(1)
+    B, T = 4, 6
+    vis = rng.randn(T, B, G, G, C_IN).astype(np.float32)
+    goal = rng.randint(0, N_OBJ, (B,))
+    actions = rng.randint(0, 6, (T, B))
+    dones = np.zeros((T, B), bool)
+    dones[0] = True
+    dones[2, 0] = dones[4, 2] = True
+
+    h_t = torch.zeros(B, HID)
+    h_j = policy.initial_state(B)
+    apply = jax.jit(lambda p, o, h, d: policy.apply({"params": p}, o, h, d))
+    prev = np.zeros((B,), np.int64)  # arbitrary at t=0: masked out either way
+    for t in range(T):
+        masks = (~dones[t]).astype(np.float32)
+        with torch.no_grad():
+            lg_t, v_t, h_t = oracle(
+                torch.from_numpy(vis[t].transpose(0, 3, 1, 2)),
+                torch.from_numpy(goal), h_t,
+                torch.from_numpy(masks)[:, None],
+                torch.from_numpy(prev))
+        # framework convention: sentinel num_actions where the episode starts
+        prev_j = np.where(dones[t], 6, prev).astype(np.int32)
+        lg_j, v_j, h_j = apply(
+            converted["params"],
+            {"visual": jnp.asarray(vis[t]), "goal": jnp.asarray(goal),
+             "prev_action": jnp.asarray(prev_j)},
+            h_j, jnp.asarray(dones[t]))
+        np.testing.assert_allclose(np.asarray(lg_j), lg_t.numpy(),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(v_j), v_t.numpy(),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(h_j), h_t.numpy(),
+                                   rtol=1e-4, atol=1e-5)
+        prev = actions[t]
+
+
 def test_released_key_list_fixture_converts():
     """Fixture of the EXACT released RoboTHOR ObjectNav state_dict key list
     and shapes (allenact ResnetTensorNavActorCritic, CLIP RN50 conv map
@@ -164,7 +231,7 @@ def test_released_key_list_fixture_converts():
     cfg = converted["config"]
     assert cfg == dict(num_actions=6, num_goal_classes=12, goal_dims=32,
                        compressor_dims=(128, 32), combiner_dims=(128, 32),
-                       hidden=512)
+                       hidden=512, prev_action_embed_dims=0)
     policy = AllenActResnetPolicy(**cfg)
     obs = {"visual": jnp.zeros((2, 7, 7, 2048)),
            "goal": jnp.zeros((2,), jnp.int32)}

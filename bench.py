@@ -52,17 +52,13 @@ def main():
     if os.environ.get("BENCH_FOLD_BN", "1") == "1":
         enc = enc.fold_bn()
     if quant == "int8":
-        from embodied_clip_tpu.models.clip_resnet import CLIP_RESNET_CONFIGS
+        # Calibrate activation scales on the structured golden parity
+        # frames — never synthetic noise, whose maxima mis-scale
+        # natural-image activations. Covers all three families: CLIP ResNets,
+        # torchvision ResNets, and the ViT transformer blocks (quantize_vit).
+        from embodied_clip_tpu.parity import golden_frames
 
-        # ViT archs have no int8 trunk — bench them on the bf16 path instead
-        # of crashing (same guard as generate_data/extract._build_encoders).
-        if enc.spec.family == "imagenet" or enc.spec.arch in CLIP_RESNET_CONFIGS:
-            # Calibrate activation scales on the structured golden parity
-            # frames — never synthetic noise, whose maxima mis-scale
-            # natural-image activations.
-            from embodied_clip_tpu.parity import golden_frames
-
-            enc = enc.quantize(golden_frames(n=32))
+        enc = enc.quantize(golden_frames(n=32))
 
     rng = np.random.RandomState(0)
     # Flat-channels (n, h, w*3) staging: the layout the fused preprocess kernel

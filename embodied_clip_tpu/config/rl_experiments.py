@@ -266,10 +266,10 @@ class NavRLExperiment(Experiment):
         dtype = (jnp.bfloat16 if self.encoder_dtype in ("bfloat16", "int8")
                  else jnp.float32)
         enc = build_encoder(self.encoder, dtype=dtype).fold_bn()
-        if self.encoder_dtype == "int8" and self._encoder_emits_map():
-            # int8-trunk serving config (see ops/quantize.py), for both CLIP and
-            # torchvision trunks (ViTs have no int8 trunk — they stay bf16, the
-            # same guard bench.py applies). Activation scales must come from
+        if self.encoder_dtype == "int8":
+            # int8-trunk serving config (ops/quantize.py for the CLIP and
+            # torchvision ResNet trunks, ops/quantize_vit.py for the ViT
+            # transformer blocks). Activation scales must come from
             # representative frames, never synthetic noise (noise maxima
             # mis-scale natural-image activations; ADVICE r2): calibrate on
             # frames rendered by the actual env backend, topped up with the

@@ -21,11 +21,11 @@ from embodied_clip_tpu.data.feature_store import FeatureStoreWriter
 
 def _build_encoders(encoder_names: Sequence[str], dtype: str, calibration=None):
     """dtype ∈ {float32, bfloat16, int8}. int8 = bf16 graph with the PTQ int8
-    trunk for CLIP ResNets (the fast serving config; activation scales calibrate
-    on `calibration` frames — pass real data); other families fall back to bf16."""
+    trunk (CLIP/torchvision ResNets AND the ViT transformer blocks — the fast
+    serving config; activation scales calibrate on `calibration` frames — pass
+    real data)."""
     import jax.numpy as jnp
 
-    from embodied_clip_tpu.models.clip_resnet import CLIP_RESNET_CONFIGS
     from embodied_clip_tpu.models.encoders import build_encoder
 
     jdtype = jnp.bfloat16 if dtype in ("bfloat16", "int8") else jnp.float32
@@ -34,9 +34,7 @@ def _build_encoders(encoder_names: Sequence[str], dtype: str, calibration=None):
         enc = build_encoder(name, dtype=jdtype)
         if dtype == "int8":
             enc = enc.fold_bn()
-            quantizable = (enc.spec.family == "imagenet"
-                           or enc.spec.arch in CLIP_RESNET_CONFIGS)
-            if quantizable and calibration is not None:
+            if calibration is not None:
                 enc = enc.quantize(calibration)
         encoders[name] = enc
     return encoders

@@ -219,10 +219,11 @@ class FrozenEncoder:
         )
 
     def quantize(self, calibration_frames) -> "FrozenEncoder":
-        """Return an int8-trunk encoder (ops/quantize.py): conv traffic halved and
-        MXU rate doubled on the HBM-bound ResNet trunks (CLIP and torchvision
-        families); stem, shortcut convs and attnpool stay bf16/f32. Fidelity is a
-        measured trade vs the bf16 path (STATUS.md).
+        """Return an int8-trunk encoder (ops/quantize.py, ops/quantize_vit.py):
+        conv/dense traffic halved and MXU rate doubled on the ResNet trunks and
+        the ViT transformer blocks; stems, shortcut convs, attnpool, LayerNorms
+        and the attention core stay bf16/f32. Fidelity is a measured trade vs
+        the bf16 path (STATUS.md).
 
         Contract: `calibration_frames` must be REPRESENTATIVE uint8 frames (real
         observations, or parity.golden_frames) — never synthetic noise. The
@@ -245,8 +246,17 @@ class FrozenEncoder:
             )(folded.variables["params"], x)
             return _QuantizedResNetEncoder(folded, qtrunk, cfg["stage_sizes"],
                                            cfg["block"])
+        if self.spec.arch in CLIP_VIT_CONFIGS:
+            from embodied_clip_tpu.ops.quantize_vit import quantize_vit
+
+            vcfg = CLIP_VIT_CONFIGS[self.spec.arch]
+            nh, nl = vcfg["num_heads"], vcfg["layers"]
+            qtower = jax.jit(
+                lambda p, xx: quantize_vit(p, xx, num_heads=nh, layers=nl)
+            )(folded.variables["params"]["vit"], x)
+            return _QuantizedViTEncoder(folded, qtower, nh, nl)
         assert self.spec.arch in CLIP_RESNET_CONFIGS, \
-            "int8 quantization targets the ResNet trunks (ViT stays bf16)"
+            f"no int8 path for {self.spec.arch}"
         stage_sizes = CLIP_RESNET_CONFIGS[self.spec.arch]["stage_sizes"]
         qtrunk = jax.jit(
             lambda p, xx: quantize_trunk(p, stage_sizes, xx)
@@ -391,6 +401,29 @@ class _QuantizedCLIPEncoder(FrozenEncoder):
 
     def fold_bn(self) -> "FrozenEncoder":
         return self  # already folded+quantized
+
+
+class _QuantizedViTEncoder(FrozenEncoder):
+    """CLIP ViT encoder with int8 transformer-block dense layers
+    (see FrozenEncoder.quantize; scheme in ops/quantize_vit.py)."""
+
+    def __init__(self, folded: FrozenEncoder, qtower, num_heads: int,
+                 layers: int):
+        self.num_heads = num_heads
+        self.layers = layers
+        super().__init__(folded.spec, folded.module, {"qtrunk": qtower},
+                         folded.image_size, folded.dtype)
+
+    def _encode_impl(self, variables, frames):
+        from embodied_clip_tpu.ops.quantize_vit import quantized_vit_apply
+
+        x = self.preprocess(frames)
+        embed = quantized_vit_apply(variables["qtrunk"], x, self.num_heads,
+                                    self.layers, out_dtype=self.dtype)
+        return {"clip_embed": jax.lax.stop_gradient(embed)}
+
+    def fold_bn(self) -> "FrozenEncoder":
+        return self  # ViT has no BN; already quantized
 
 
 class _QuantizedResNetEncoder(FrozenEncoder):

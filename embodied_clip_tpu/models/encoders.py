@@ -414,6 +414,13 @@ class _QuantizedViTEncoder(FrozenEncoder):
         super().__init__(folded.spec, folded.module, {"qtrunk": qtower},
                          folded.image_size, folded.dtype)
 
+    def _flag_key(self) -> tuple:
+        import os
+
+        return super()._flag_key() + (
+            os.environ.get("ECT_VIT_QUANT_ATTN", "1"),
+            os.environ.get("ECT_VIT_CONV_OUT", "0"))
+
     def _encode_impl(self, variables, frames):
         from embodied_clip_tpu.ops.quantize_vit import quantized_vit_apply
 

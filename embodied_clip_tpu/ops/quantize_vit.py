@@ -91,7 +91,8 @@ def _quick_gelu(x):
 
 def _forward(params: Dict[str, Any], x, num_heads: int, layers: int,
              dtype, q: Dict[str, Any] | None, scales: Dict[str, jnp.ndarray],
-             collect: bool):
+             collect: bool, quant_attn: bool = True,
+             conv_dense: bool = False):
     """Shared ViT forward skeleton.
 
     collect=True: f32 calibration pass — records per-tensor |max| at each
@@ -101,17 +102,39 @@ def _forward(params: Dict[str, Any], x, num_heads: int, layers: int,
     epilogue with the fused (a_scale · w_scale[out]) multiplier + bias."""
     p = params
 
-    def dense(name: str, block_q, block_p, t, key: str):
+    def dense(name: str, block_q, block_p, t, key: str, use_q: bool = True):
         if collect:
             scales[key] = jnp.max(jnp.abs(t.astype(jnp.float32))) / _QMAX + 1e-30
             w = block_p[name]
             return (t.astype(jnp.float32) @ w["kernel"].astype(jnp.float32)
                     + w["bias"].astype(jnp.float32))
+        if not use_q:
+            # bf16 dense from the fp tree (ECT_VIT_QUANT_ATTN=0 variant):
+            # wins in ISOLATED dot benches at the attention shapes but loses
+            # in-graph — see quantized_vit_apply's docstring.
+            w = block_p[name]
+            y = jnp.einsum("ntc,cd->ntd", t.astype(dtype),
+                           w["kernel"].astype(dtype),
+                           preferred_element_type=jnp.float32)
+            return y + w["bias"].astype(jnp.float32)
         a = scales[key]
         t8 = _requant_signed(t, a)
         qd = block_q[name]
-        y = jnp.einsum("ntc,cd->ntd", t8, qd["kernel_q"],
-                       preferred_element_type=jnp.int32)
+        if conv_dense and name == "out_proj":
+            # s8 1x1-conv form of the (6400,768)x(768,768) contraction: XLA's
+            # conv emitter runs it at 117 TOPS where its dot emitter manages
+            # only 53 (isolated probe, STATUS.md r5). NHWC (n,t,1,c) is a
+            # free reshape of (n,t,c).
+            nb, tt, cc = t8.shape
+            y = jax.lax.conv_general_dilated(
+                t8.reshape(nb, tt, 1, cc),
+                qd["kernel_q"].reshape(1, 1, cc, -1), (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            ).reshape(nb, tt, -1)
+        else:
+            y = jnp.einsum("ntc,cd->ntd", t8, qd["kernel_q"],
+                           preferred_element_type=jnp.int32)
         return (y.astype(jnp.float32) * (jnp.asarray(a, jnp.float32)
                                          * qd["w_scale"])
                 + block_p[name]["bias"].astype(jnp.float32))
@@ -141,10 +164,12 @@ def _forward(params: Dict[str, Any], x, num_heads: int, layers: int,
                   "out_proj": bp["attn"]["out_proj"],
                   "mlp_fc": bp["mlp_fc"], "mlp_proj": bp["mlp_proj"]}
         y = _ln(x, bp["ln_1"]).astype(cdt)
-        qkv = dense("in_proj", bq, attn_p, y, f"block{i}/attn_in")
+        qkv = dense("in_proj", bq, attn_p, y, f"block{i}/attn_in",
+                    use_q=quant_attn)
         qq, kk, vv = jnp.split(qkv.astype(cdt), 3, axis=-1)
         o = _attention_core(qq, kk, vv, num_heads, cdt)
-        o = dense("out_proj", bq, attn_p, o, f"block{i}/attn_out_in")
+        o = dense("out_proj", bq, attn_p, o, f"block{i}/attn_out_in",
+                  use_q=quant_attn)
         x = x + o.astype(cdt)
         y = _ln(x, bp["ln_2"]).astype(cdt)
         y = dense("mlp_fc", bq, attn_p, y, f"block{i}/mlp_in")
@@ -179,11 +204,24 @@ def quantize_vit(params: Dict[str, Any], x_calib, num_heads: int,
             "mlp_fc": _quantize_dense_kernel(bp["mlp_fc"]["kernel"]),
             "mlp_proj": _quantize_dense_kernel(bp["mlp_proj"]["kernel"]),
         }
-        # keep only what the serving pass reads: LNs + dense biases
+        # keep what the serving pass reads: LNs + dense biases, plus the attn
+        # dense kernels in bf16 for the flag-gated ECT_VIT_QUANT_ATTN=0
+        # variant (bf16 attention denses; measured slower in-graph — see
+        # quantized_vit_apply).
         fp_blocks[f"block{i}"] = {
             "ln_1": bp["ln_1"], "ln_2": bp["ln_2"],
-            "attn": {"in_proj": {"bias": bp["attn"]["in_proj"]["bias"]},
-                     "out_proj": {"bias": bp["attn"]["out_proj"]["bias"]}},
+            "attn": {
+                "in_proj": {
+                    "kernel": jnp.asarray(bp["attn"]["in_proj"]["kernel"],
+                                          jnp.bfloat16),
+                    "bias": bp["attn"]["in_proj"]["bias"],
+                },
+                "out_proj": {
+                    "kernel": jnp.asarray(bp["attn"]["out_proj"]["kernel"],
+                                          jnp.bfloat16),
+                    "bias": bp["attn"]["out_proj"]["bias"],
+                },
+            },
             "mlp_fc": {"bias": bp["mlp_fc"]["bias"]},
             "mlp_proj": {"bias": bp["mlp_proj"]["bias"]},
         }
@@ -203,6 +241,21 @@ def quantize_vit(params: Dict[str, Any], x_calib, num_heads: int,
 def quantized_vit_apply(q: Dict[str, Any], x, num_heads: int, layers: int,
                         out_dtype=jnp.bfloat16):
     """int8 ViT forward: x is the preprocessed image batch (f32/bf16 NHWC).
-    Returns the CLIP embedding in out_dtype."""
+    Returns the CLIP embedding in out_dtype.
+
+    Per-layer precision (trace-time flag `ECT_VIT_QUANT_ATTN`, default 1 =
+    all four dense layers s8). ECT_VIT_QUANT_ATTN=0 runs in_proj/out_proj as
+    bf16 dots instead — motivated by isolated dot benches (XLA's s8 dot
+    emitter is slower than bf16 at the attention shapes: 53-186 TOPS s8 vs
+    116-205 TFLOP/s bf16) but measured SLOWER in-graph (12.16k vs 12.68k f/s,
+    STATUS.md r5 — the bf16 activations' extra traffic and lost requant
+    fusions outweigh the dot-level win; the same isolated-win inversion as
+    the RN50 kernel campaign). Kept flag-gated for re-measurement on future
+    XLA versions."""
+    import os
+
+    quant_attn = os.environ.get("ECT_VIT_QUANT_ATTN", "1") == "1"
+    conv_dense = os.environ.get("ECT_VIT_CONV_OUT", "0") == "1"
     return _forward(q["fp"], x, num_heads, layers,
-                    out_dtype, q, q["act_scales"], collect=False)
+                    out_dtype, q, q["act_scales"], collect=False,
+                    quant_attn=quant_attn, conv_dense=conv_dense)

@@ -42,6 +42,42 @@ def test_vit_int8_encoder_in_rl_config():
     assert np.isfinite(np.asarray(vis, np.float32)).all()
 
 
+def test_vit_quant_attn_variants_close_and_distinct():
+    """ECT_VIT_QUANT_ATTN selects the attention-dense precision at trace time
+    (0 = bf16 attn denses + s8 MLP, the measured-fastest split; 1 = all-s8).
+    Both variants must stay close to f32, and the flag must actually retrace
+    (the two graphs produce different outputs — guards the ADVICE-r4 stale-jit
+    failure mode)."""
+    import os
+
+    frames = golden_frames(n=8, size=96)
+    ref_enc = build_encoder("clip_vit_tiny", dtype=jnp.float32)
+    ref = np.asarray(ref_enc.encode(frames)["clip_embed"], np.float32)
+    qenc = ref_enc.quantize(frames)
+
+    outs = {}
+    prev = os.environ.get("ECT_VIT_QUANT_ATTN")
+    try:
+        for flag in ("0", "1"):
+            os.environ["ECT_VIT_QUANT_ATTN"] = flag
+            outs[flag] = np.asarray(qenc.encode(frames)["clip_embed"],
+                                    np.float32)
+    finally:
+        if prev is None:
+            os.environ.pop("ECT_VIT_QUANT_ATTN", None)
+        else:
+            os.environ["ECT_VIT_QUANT_ATTN"] = prev
+
+    for flag, out in outs.items():
+        d = cosine_distance(ref, out)
+        assert d < 2e-2, f"ECT_VIT_QUANT_ATTN={flag}: cosine {d}"
+    # bf16-attn variant quantizes strictly fewer layers -> closer to f32
+    assert (cosine_distance(ref, outs["0"])
+            <= cosine_distance(ref, outs["1"]) + 1e-6)
+    assert not np.array_equal(outs["0"], outs["1"]), \
+        "flag flip did not retrace: both settings ran the same graph"
+
+
 def test_int8_vit_idempotent_and_schema():
     frames = golden_frames(n=4, size=96)
     enc = build_encoder("clip_vit_tiny", dtype=jnp.float32)

@@ -17,9 +17,13 @@ def main():
     p.add_argument("--env-batch", type=int, default=32)
     p.add_argument("--rollout", type=int, default=64)
     p.add_argument("--frames", action="store_true",
-                   help="uint8 frame observations + frozen CLIP RN50 in-rollout")
+                   help="uint8 frame observations + a frozen encoder in-rollout")
+    p.add_argument("--encoder", default="clip_rn50",
+                   help="frozen encoder for --frames (any ENCODER_SPECS name; "
+                        "ResNets feed the conv-map policy path, ViTs the "
+                        "flat-embed path)")
     p.add_argument("--int8", action="store_true",
-                   help="serve the frozen encoder with the int8 trunk (PTQ)")
+                   help="serve the frozen encoder int8 (PTQ trunk / ViT blocks)")
     p.add_argument("--mesh", action="store_true",
                    help="shard the env batch over all devices (DD-PPO SPMD)")
     args = p.parse_args()
@@ -33,10 +37,11 @@ def main():
     from embodied_clip_tpu.training.ppo import PPOConfig
 
     encode = None
+    visual_is_map = False
     if args.frames:
         from embodied_clip_tpu.models.encoders import build_encoder
 
-        enc = build_encoder("clip_rn50", dtype=jnp.bfloat16).fold_bn()
+        enc = build_encoder(args.encoder, dtype=jnp.bfloat16).fold_bn()
         if args.int8:
             # Calibrate on structured representative frames (quantize()'s
             # no-synthetic-noise contract), as the RL experiments do.
@@ -44,14 +49,19 @@ def main():
 
             enc = enc.quantize(golden_frames(n=16))
         fn, variables = enc.encode_fn(), enc.variables
-        encode = lambda f: fn(variables, f)["clip_conv"]
+        probe = jax.eval_shape(lambda: fn(variables, jnp.zeros(
+            (1, enc.image_size, enc.image_size, 3), jnp.uint8)))
+        key = ("clip_conv" if "clip_conv" in probe
+               else sorted(probe)[0])  # flat embed for ViTs / imagenet pool
+        visual_is_map = probe[key].ndim == 4
+        encode = lambda f: fn(variables, f)[key]
 
     env = GridNavEnv(size=8, max_steps=64, frame_obs=args.frames,
                      flat_obs=not args.frames)
     policy = ActorCritic(
         num_actions=env.num_actions, goal_kind="object_embed",
         num_goal_classes=env.num_classes, hidden=512,
-        visual_is_map=args.frames,
+        visual_is_map=visual_is_map,
     )
     mesh = None
     if args.mesh:

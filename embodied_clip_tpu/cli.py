@@ -94,15 +94,25 @@ def _cmd_train(argv):
     p.add_argument("--ckpt", default=None, help="checkpoint to load")
     p.add_argument("--eval", action="store_true")
     p.add_argument("--override", nargs="*", default=[], help="key=value config overrides")
+    p.add_argument("--profile-dir", dest="profile_dir", default=None,
+                   help="capture a jax.profiler device trace of the run into "
+                        "this directory (TensorBoard/perfetto-viewable; pair "
+                        "with a small total_env_steps override — the trace "
+                        "covers the whole command)")
     args = p.parse_args(argv)
 
+    import contextlib
+
     from embodied_clip_tpu.config.experiments import get_experiment
+    from embodied_clip_tpu.utils.profiling import trace
 
     exp = get_experiment(args.config, overrides=args.override)
-    if args.eval:
-        result = exp.evaluate(output_dir=args.output_dir, ckpt=args.ckpt)
-    else:
-        result = exp.train(output_dir=args.output_dir, ckpt=args.ckpt)
+    ctx = trace(args.profile_dir) if args.profile_dir else contextlib.nullcontext()
+    with ctx:
+        if args.eval:
+            result = exp.evaluate(output_dir=args.output_dir, ckpt=args.ckpt)
+        else:
+            result = exp.train(output_dir=args.output_dir, ckpt=args.ckpt)
     print(json.dumps(result))
 
 

@@ -525,3 +525,18 @@ def test_restore_params_checks_key_paths(tmp_path):
             "critic": {"kernel": np.zeros((4,), np.float32)}}
     out = restore_params(path, good)
     np.testing.assert_array_equal(out["actor"]["kernel"], np.ones((3, 2)))
+
+
+@pytest.mark.slow
+def test_cli_train_profile_dir(tmp_path):
+    """`train --profile-dir` captures a jax.profiler device trace of the run
+    (SURVEY §5 tracing row: TensorBoard/perfetto-viewable xplane dump)."""
+    from embodied_clip_tpu.cli import main
+
+    main(["train", "--config", "ddppo_objectnav_rgb",
+          "--override", "total_env_steps=256", "env_batch=4",
+          "rollout_len=8", "hidden=16",
+          "--output-dir", str(tmp_path / "out"),
+          "--profile-dir", str(tmp_path / "trace")])
+    assert list((tmp_path / "trace").rglob("*.xplane.pb")), \
+        "no xplane trace written"

@@ -107,6 +107,14 @@ def _cmd_train(argv):
     from embodied_clip_tpu.utils.profiling import trace
 
     exp = get_experiment(args.config, overrides=args.override)
+    if args.profile_dir:
+        # start_trace touches the jax backend; multi-host bring-up must come
+        # first or the trainer's initialize_distributed() finds a live
+        # single-process backend (idempotent no-op when ECT_COORDINATOR et al
+        # are unset).
+        from embodied_clip_tpu.parallel.distributed import initialize_distributed
+
+        initialize_distributed()
     ctx = trace(args.profile_dir) if args.profile_dir else contextlib.nullcontext()
     with ctx:
         if args.eval:

@@ -721,7 +721,9 @@ class NavRLExperiment(Experiment):
             }
         else:
             # same aggregation as compute_scores, from the in-memory records
-            # (process 0's file may not be on this host's filesystem)
+            # (process 0's file may not be on this host's filesystem — report
+            # no metrics_file rather than a path this process never wrote)
+            path = None
             per_type = {}
             for t in sorted({e["task_info"]["object_type"] for e in episodes}):
                 eps = [e for e in episodes if e["task_info"]["object_type"] == t]
@@ -766,6 +768,12 @@ class NavRLExperiment(Experiment):
         world, pid = jax.process_count(), jax.process_index()
         local_episodes = (self.eval_episodes // world
                           + (1 if pid < self.eval_episodes % world else 0))
+        if local_episodes == 0:
+            # More processes than episodes: skip the (expensive) simulator
+            # pool entirely — only the merge collective must still run on
+            # every process.
+            self._eval_episodes_local = 0
+            return gather_records([])
         env_fns, frame_shape = self._host_env_fns(
             eval_split=True, seed_offset=pid * self.num_workers)
         venv = VectorEnv(env_fns, frame_shape=frame_shape)

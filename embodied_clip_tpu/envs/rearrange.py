@@ -299,9 +299,16 @@ class GridTwoPhaseRearrangeEnv:
     # ---------------------------------------------------------------------- expert
 
     def expert_action(self, s: GridTwoPhaseState) -> jnp.ndarray:
-        """Walkthrough: end immediately (Drop). Unshuffle: the greedy 1-phase
-        oracle — go to object → Pickup; go to goal → Drop."""
-        target = jnp.where(s.holding[:, None], s.goal_pos, s.obj_pos)
+        """Walkthrough: navigate TO the goal cell — the demonstration gathers
+        the information the unshuffle labels rely on (the goal channel lit at
+        the view center, with the boundary pattern for localization) — then
+        Drop to end the phase. Unshuffle: the greedy 1-phase oracle — go to
+        object → Pickup; go to goal → Drop. An expert that ended the
+        walkthrough at step 1 would make the imitation target a function of
+        state the observation stream never provided."""
+        is_walk = (s.phase == 0)
+        target = jnp.where(is_walk[:, None], s.goal_pos,
+                           jnp.where(s.holding[:, None], s.goal_pos, s.obj_pos))
         d = target - s.agent_pos
         dist = jnp.abs(d).sum(-1)
         at_target = dist <= self.success_dist
@@ -313,9 +320,10 @@ class GridTwoPhaseRearrangeEnv:
         diff = (desired - s.agent_dir) % 4
         turn = jnp.where(diff == 3, ROTATE_LEFT, ROTATE_RIGHT)
         move = jnp.where(diff == 0, MOVE_AHEAD, turn)
-        interact = jnp.where(s.holding, DROP, PICKUP)
-        unshuffle = jnp.where(at_target, interact, move)
-        return jnp.where(s.phase == 0, DROP, unshuffle).astype(jnp.int32)
+        # at-target interaction: walkthrough ends with Drop (inert while not
+        # holding, ends the phase); unshuffle picks up / places.
+        interact = jnp.where(is_walk | s.holding, DROP, PICKUP)
+        return jnp.where(at_target, interact, move).astype(jnp.int32)
 
     # ------------------------------------------------------------------------ step
 

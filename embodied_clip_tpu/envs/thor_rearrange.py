@@ -441,8 +441,15 @@ class THORTwoPhaseRearrangeEnv(THORRearrangeEnv):
         return super().step(action)
 
     def expert_action(self) -> int:
-        # The DAgger expert ends the walkthrough immediately (it needs no
-        # memory — phase-1 expertise reads scene metadata directly).
+        # Walkthrough demo: survey the goal configuration with one full
+        # revolution from the start pose, then Done. The demonstrated
+        # behavior must gather the information the unshuffle labels rely on
+        # (the phase-1 expert reads scene metadata the policy can only get
+        # from walkthrough memory); upstream's walkthrough agent is likewise
+        # an explorer, not a no-op.
         if self._episode["phase"] == 0:
+            scan = int(round(360.0 / self.rot_step))
+            if self._episode["walk_t"] < min(scan, self.walkthrough_budget - 1):
+                return REARRANGE_ACTIONS.index("RotateRight")
             return REARRANGE_ACTIONS.index("Done")
         return super().expert_action()

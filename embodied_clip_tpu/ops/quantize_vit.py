@@ -35,6 +35,8 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
+from embodied_clip_tpu.models.transformer import quick_gelu as _quick_gelu
+
 __all__ = ["quantize_vit", "quantized_vit_apply"]
 
 _QMAX = 127.0
@@ -51,12 +53,14 @@ def _quantize_dense_kernel(kernel) -> Dict[str, jnp.ndarray]:
 
 
 def _requant_signed(x, a_scale):
-    """f32/bf16 → signed int8 on a per-tensor grid: round-half-away-from-zero
-    via sign-selected ±0.5 + truncating convert (one fused elementwise chain
-    in the producer's epilogue — same form as ops/quantize._requant_signed)."""
-    y = x.astype(jnp.float32) / jnp.asarray(a_scale, jnp.float32)
-    y = jnp.where(y >= 0, y + 0.5, y - 0.5)
-    return jnp.clip(y, -_QMAX, _QMAX).astype(jnp.int8)
+    """f32/bf16 → signed int8 on a per-tensor grid: the canonical helper from
+    ops/quantize (round-half-away-from-zero, one fused elementwise chain in
+    the producer's epilogue; honors ECT_RECIP_REQUANT via _unscale — the
+    encoder's jit cache is keyed on that flag, so the graph must actually
+    change with it)."""
+    from embodied_clip_tpu.ops.quantize import _requant_signed as _rq
+
+    return _rq(x.astype(jnp.float32), a_scale)
 
 
 def _ln(x, p, eps: float = 1e-5):
@@ -83,10 +87,6 @@ def _attention_core(q, k, v, num_heads: int, dtype):
     out = jnp.einsum("nhqk,nkhd->nqhd", attn, v,
                      preferred_element_type=jnp.float32)
     return out.astype(dtype).reshape(n, t, c)
-
-
-def _quick_gelu(x):
-    return x * jax.nn.sigmoid(1.702 * x)
 
 
 def _forward(params: Dict[str, Any], x, num_heads: int, layers: int,

@@ -148,10 +148,12 @@ class StepCheckpointer:
         path = self._path(step)
         try:
             state = restore_pytree(path, target)
-        except Exception as e:
+        except (ValueError, KeyError, TypeError) as e:
             # orbax raises its own (opaque) structure errors when the stored
             # tree doesn't match the template — translate to the actionable
-            # message.
+            # message. I/O failures (truncated save, permissions, a missing
+            # array file on one host) propagate untranslated: those are not
+            # config mismatches and the fix is not "use a fresh output dir".
             raise ValueError(
                 f"checkpoint {path} does not match this experiment's "
                 "train-state tree: the output dir holds a checkpoint from a "

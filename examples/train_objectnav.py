@@ -51,8 +51,10 @@ def main():
         fn, variables = enc.encode_fn(), enc.variables
         probe = jax.eval_shape(lambda: fn(variables, jnp.zeros(
             (1, enc.image_size, enc.image_size, 3), jnp.uint8)))
-        key = ("clip_conv" if "clip_conv" in probe
-               else sorted(probe)[0])  # flat embed for ViTs / imagenet pool
+        # ResNets feed the conv-map policy path (prefer *_conv over the
+        # pooled embedding); ViTs emit only the flat embedding.
+        key = next((k for k in sorted(probe) if k.endswith("_conv")),
+                   sorted(probe)[0])
         visual_is_map = probe[key].ndim == 4
         encode = lambda f: fn(variables, f)[key]
 

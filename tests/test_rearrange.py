@@ -133,3 +133,32 @@ def test_two_phase_expert_solves():
     done, success = np.asarray(done), np.asarray(success)
     assert done.any(axis=0).all()
     np.testing.assert_allclose(success[done.astype(bool)], 1.0)
+
+
+def test_two_phase_expert_walkthrough_visits_goal():
+    """The DAgger demo must GATHER the information the unshuffle labels rely
+    on: the walkthrough expert navigates to the goal cell (goal channel lit at
+    the view center) before ending the phase — never a step-1 no-op Done."""
+    from embodied_clip_tpu.envs.rearrange import DROP, GridTwoPhaseRearrangeEnv
+
+    env = GridTwoPhaseRearrangeEnv(size=8, max_steps=96)
+    state, _ = env.reset(jax.random.PRNGKey(7), 32)
+
+    @jax.jit
+    def run(state):
+        def step(st, _):
+            a = env.expert_action(st)
+            # distance to goal at the moment the expert ends the walkthrough
+            end_d = jnp.where(
+                (st.phase == 0) & (a == DROP),
+                jnp.abs(st.goal_pos - st.agent_pos).sum(-1), -1)
+            st, _, _, _, _ = env.step(st, a)
+            return st, end_d
+        return jax.lax.scan(step, state, None, length=64)
+
+    _, end_d = run(state)
+    end_d = np.asarray(end_d)
+    # every env ended its walkthrough via the expert's Drop, adjacent to goal
+    ended = end_d >= 0
+    assert ended.any(axis=0).all()
+    assert (end_d[ended] <= env.success_dist).all(), end_d[ended].max()

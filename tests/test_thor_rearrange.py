@@ -180,7 +180,13 @@ def test_two_phase_interactions_inert_in_walkthrough():
 def test_two_phase_expert_restores_scene():
     env = make_two_phase(seed=11)
     env.reset()
-    # expert ends the walkthrough immediately
+    # the walkthrough demo surveys the goal configuration (a full RotateRight
+    # revolution), then ends the phase with Done
+    scan = int(round(360.0 / env.rot_step))
+    for i in range(min(scan, env.walkthrough_budget - 1)):
+        a = env.expert_action()
+        assert REARRANGE_ACTIONS[a] == "RotateRight", (i, REARRANGE_ACTIONS[a])
+        env.step(a)
     assert REARRANGE_ACTIONS[env.expert_action()] == "Done"
     info, done = {}, False
     for _ in range(env.max_steps + env.walkthrough_budget + 2):

@@ -141,15 +141,22 @@ class DAggerLearner:
         }
         return params, opt_state, act, metrics
 
-    def _sup_step_impl(self, params, opt_state, obs_seq, h0, starts, expert_seq):
-        """One supervised (cross-entropy vs expert) update on a stored rollout."""
+    def _sup_step_impl(self, params, opt_state, obs_seq, h0, starts, expert_seq,
+                       weights=None):
+        """One supervised (cross-entropy vs expert) update on a stored rollout.
+        weights (T, B) masks tainted (obs, expert) pairs out of the loss (the
+        host collector's straggler/respawn fabrications — collect_dagger)."""
 
         def loss_fn(p):
             logits, _, _ = unroll_policy(self.policy.apply, p, obs_seq, h0, starts)
             logp = jax.nn.log_softmax(logits, axis=-1)
             ce = -jnp.take_along_axis(logp, expert_seq[..., None], axis=-1)[..., 0]
             acc = (jnp.argmax(logits, -1) == expert_seq).astype(jnp.float32)
-            return ce.mean(), acc.mean()
+            if weights is None:
+                return ce.mean(), acc.mean()
+            w = weights.astype(jnp.float32)
+            denom = jnp.maximum(w.sum(), 1.0)
+            return (ce * w).sum() / denom, (acc * w).sum() / denom
 
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = self.tx.update(grads, opt_state, params)
@@ -205,6 +212,14 @@ class HostDAggerLearner:
 
         from embodied_clip_tpu.training.host_rollout import HostRolloutCollector
 
+        # Single-process only (the experiment layer guards this too,
+        # rl_experiments.py): the act step and float(loss) below assume
+        # addressable arrays; a multi-host mesh would need local_view /
+        # host_scalar like HostPPOLearner.
+        import jax as _jax
+
+        assert _jax.process_count() == 1, \
+            "HostDAggerLearner is single-process (expert queries don't shard)"
         self.venv = venv
         self.policy = policy
         self.cfg = cfg
@@ -241,12 +256,13 @@ class HostDAggerLearner:
             return sample
         from embodied_clip_tpu.parallel.mesh import shard_batch, shard_time_major
 
-        obs_seq, h0, starts, expert_seq = sample
+        obs_seq, h0, starts, expert_seq, weights = sample
         n = self.venv.n
         return (shard_time_major(obs_seq, self.mesh, batch=n),
                 shard_batch(h0, self.mesh, batch=n),
                 shard_time_major(starts, self.mesh, batch=n),
-                shard_time_major(expert_seq, self.mesh, batch=n))
+                shard_time_major(expert_seq, self.mesh, batch=n),
+                shard_time_major(weights, self.mesh, batch=n))
 
     def train_iteration(self, params, opt_state, iteration: int):
         import time

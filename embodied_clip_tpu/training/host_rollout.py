@@ -257,7 +257,14 @@ class HostRolloutCollector:
     def collect_dagger(self, params, num_steps: int, beta: float, rng):
         """DAgger collection: act with a β-mixture of expert and learner actions,
         labeling every step with the expert's action (queried from the live env
-        workers before stepping). Returns (obs_seq, h0, starts, expert_seq, metrics).
+        workers before stepping). Returns (obs_seq, h0, starts, expert_seq,
+        weights, metrics) — weights (T, B) masks (obs, expert) pairs whose obs
+        is stale: the previous step_wait fabricated this env's transition
+        (straggler timeout / worker respawn repeats the old obs while the
+        worker's real state advanced), or the expert query itself respawned or
+        drained past an episode boundary (the expert answers for the ADVANCED
+        state). Training on such pairs imitates off-by-one / cross-episode
+        labels.
 
         Requires cutoff_fraction == 1.0 on the pool (expert queries are synchronous
         per-worker round-trips; imitation has no straggler-cutoff semantics) and a
@@ -267,9 +274,10 @@ class HostRolloutCollector:
         assert getattr(self.venv, "cutoff_fraction", 1.0) >= 1.0, \
             "DAgger collection needs a lockstep pool (cutoff_fraction=1.0)"
         st = self._g[0]
-        obs_seq, starts, experts = [], [], []
+        obs_seq, starts, experts, weights = [], [], [], []
         ep_metrics = {"success": [], "spl": [], "episode_len": []}
         h0 = st["h"]
+        valid_prev = np.ones(self.venv.n, bool)
         for _ in range(num_steps):
             # Stage accounting mirrors collect(): "act" = device act step
             # (incl. the frozen encode), "env_step" = simulator-side work (the
@@ -277,6 +285,11 @@ class HostRolloutCollector:
             # env_steps_per_s and stage fractions cover the whole iteration.
             with self.timer.stage("env_step"):
                 expert = self.venv.expert_actions()
+            # Taint mask for this (obs, expert) pair — see the docstring.
+            w = valid_prev.copy()
+            pend = getattr(self.venv, "_respawned_pending", ())
+            if pend:
+                w[list(pend)] = False
             with self.timer.stage("act"):
                 obs_dev = self._policy_obs(st["obs"], st["prev_action"])
                 action, _, _, st["h"] = self._act_step(
@@ -290,8 +303,10 @@ class HostRolloutCollector:
             obs_seq.append(obs_dev)
             starts.append(st["is_start"])
             experts.append(jnp.asarray(expert))
+            weights.append(jnp.asarray(w, jnp.float32))
             with self.timer.stage("env_step"):
-                next_obs, _reward, done, infos, _valid = self.venv.step_wait()
+                next_obs, _reward, done, infos, valid = self.venv.step_wait()
+            valid_prev = np.asarray(valid, bool)
             for inf in infos:
                 if "success" in inf:
                     for k in ep_metrics:
@@ -307,4 +322,5 @@ class HostRolloutCollector:
             k: float(np.mean(v)) if v else 0.0 for k, v in ep_metrics.items()
         }
         metrics["episodes"] = float(len(ep_metrics["success"]))
-        return obs_stacked, h0, jnp.stack(starts), jnp.stack(experts), metrics
+        return (obs_stacked, h0, jnp.stack(starts), jnp.stack(experts),
+                jnp.stack(weights), metrics)

@@ -67,7 +67,10 @@ def compute_gae(rewards, values, dones, last_value, gamma: float, lam: float,
     valid (T, B) bool or None: False marks straggler-cutoff steps whose transition
     was fabricated. Those steps contribute no delta — the accumulated advantage
     passes through them unchanged (DD-PPO's truncate-the-laggard semantics: the
-    fabricated step simply doesn't exist in the laggard's trajectory)."""
+    fabricated step simply doesn't exist in the laggard's trajectory) — UNLESS
+    the fabricated step also marks an episode boundary (done=True, the
+    respawn/drained-done contract in envs/vector.py): the fresh episode's
+    carry must not leak backwards across it."""
     not_done = 1.0 - dones.astype(jnp.float32)
     next_values = jnp.concatenate([values[1:], last_value[None]], axis=0)
     w = (jnp.ones_like(rewards) if valid is None else valid.astype(jnp.float32))
@@ -75,7 +78,7 @@ def compute_gae(rewards, values, dones, last_value, gamma: float, lam: float,
     def back(carry, inp):
         r, v, nv, nd, wt = inp
         delta = r + gamma * nv * nd - v
-        adv = wt * (delta + gamma * lam * nd * carry) + (1.0 - wt) * carry
+        adv = wt * (delta + gamma * lam * nd * carry) + (1.0 - wt) * nd * carry
         return adv, adv
 
     _, advs = jax.lax.scan(
